@@ -1,0 +1,19 @@
+"""ddnerf_tpu — a TPU-native (JAX/XLA/Pallas/pjit) reimplementation of
+DDNeRF and its bundled mip-NeRF (reference: dadonda89/DDNeRF).
+
+Layers (SURVEY.md §7):
+
+* :mod:`ddnerf_tpu.config` — frozen dataclass config, reference-YAML ingest
+* :mod:`ddnerf_tpu.core` — pure jnp math: frustum Gaussians, IPE, samplers,
+  volume rendering, depth-distribution loss, schedules
+* :mod:`ddnerf_tpu.models` — Flax MLPs and the coarse→fine pipeline
+* :mod:`ddnerf_tpu.data` — host-side loaders (blender / LLFF-COLMAP / synthetic)
+* :mod:`ddnerf_tpu.train` — jitted+sharded train step, orbax checkpoints
+* :mod:`ddnerf_tpu.parallel` — device mesh + sharding helpers
+* :mod:`ddnerf_tpu.render` / :mod:`ddnerf_tpu.eval` — tiled rendering, metrics
+* :mod:`ddnerf_tpu.kernels` — Pallas TPU kernels for the hot paths
+"""
+
+__version__ = "0.1.0"
+
+from ddnerf_tpu.config import Config, load_config  # noqa: F401

@@ -1,0 +1,271 @@
+"""Configuration system for ddnerf_tpu.
+
+The reference (``/root/reference/general_utils/cfgnode.py:36``) uses a mutable
+YACS-style ``CfgNode`` that is *mutated at runtime* (annealed
+``gaussian_smooth_factor``, ``pdf_padding`` flip, auto ``dist_reg_coeficient``,
+pose-normalization rescale of near/far — train_model.py:121-142,
+data_utils/data_utils.py:67-74).  That design is hostile to JAX: values read
+inside a ``jit``-traced function must be either static (hashable, trigger
+recompile on change) or explicit traced inputs.
+
+Here the config is a tree of **frozen dataclasses** built from the same YAML
+schema as the reference's six ``configs/*.yml`` files, split by role:
+
+* everything in :class:`Config` is **static** — hashable, safe to close over
+  in a jitted function;
+* the runtime-mutated quantities become **pure schedules**
+  (:mod:`ddnerf_tpu.core.schedules`) evaluated per-step and passed into the
+  train step as traced scalars.
+
+``Config.from_yaml`` accepts the reference YAML layout verbatim, including the
+keys the reference reads through ``try/except`` defaults
+(models.py:192-196, samplers.py:44-50).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+from dataclasses import dataclass, field, fields, is_dataclass, replace
+from typing import Any, Optional, Tuple
+
+import yaml
+
+
+def _get(d: dict, key: str, default):
+    if d is None:
+        return default
+    v = d.get(key, default)
+    return default if v is None and default is not None else v
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """Reference: ``experiment:`` block (config_blender.yml:2-16)."""
+
+    id: str = "experiment"
+    logdir: str = "logs"
+    randomseed: int = 42
+    train_iters: int = 200001
+    validate_every: int = 2000
+    save_every: int = 2000
+    print_every: int = 200
+
+
+@dataclass(frozen=True)
+class TrainParamsConfig:
+    """Reference: ``train_params:`` block (config_blender.yml:18-30).
+
+    ``pdf_padding``/``gaussian_smooth_factor`` are *initial* values here; their
+    per-step evolution lives in :func:`ddnerf_tpu.core.schedules`.
+    """
+
+    pdf_padding: bool = True
+    max_pdf_pad_iters: int = 20000
+    gaussian_smooth_factor: float = 1.7
+    final_smooth: float = 1.1
+    finnish_smooth: int = 150000
+    depth_analysis_rays: bool = False
+    depth_analysis_path: str = ""
+    dist_reg_coeficient: float = 0.02
+    set_automatic_dist_reg_coeficient: bool = True
+    loss_coeficients: Tuple[float, ...] = (1.0, 1.0)
+    dp_coeficient: float = 0.1
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    """Reference: ``dataset:`` block (config_blender.yml:32-62)."""
+
+    type: str = "blender"
+    basedir: str = ""
+    single_image_mode: bool = True
+    ndc_rays: bool = False
+    near: float = 2.0
+    far: float = 6.0
+    combined_sampling_method: bool = False
+    combined_split: float = 2.0
+    downsample_factor: int = 4
+    spherify: bool = False
+    normalize_poses: bool = False
+    normalize_factor: float = 5.0
+    bd_factor: Optional[float] = None
+    llffhold: int = 8
+    half_res: bool = False
+    testskip: int = 1
+    # ddnerf_tpu extension: procedurally generated scene for tests/benches.
+    synthetic: bool = False
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """Reference: ``optimizer:`` + ``scheduler:`` blocks. The reference ignores
+    its own ``scheduler`` block and hardcodes the mip-NeRF log-lerp schedule
+    (train_model.py:101-107); we expose those knobs explicitly."""
+
+    type: str = "adam"
+    lr: float = 1.0e-3
+    lr_init: float = 5.0e-4
+    lr_final: float = 5.0e-6
+    lr_delay_steps: int = 2500
+    lr_delay_mult: float = 0.01
+
+
+@dataclass(frozen=True)
+class NerfModeConfig:
+    """Reference: ``nerf.train`` / ``nerf.validation`` blocks
+    (config_blender.yml:85-124)."""
+
+    num_random_rays: int = 2048
+    chunksize: int = 16384
+    perturb: bool = True
+    num_coarse: int = 32
+    num_fine: int = 32
+    white_background: bool = False
+    radiance_field_noise_std: float = 1.0
+    lindisp: bool = False
+
+
+@dataclass(frozen=True)
+class NerfConfig:
+    """Reference: ``nerf:`` block (config_blender.yml:76-124)."""
+
+    type: str = "DDNerfModel"  # or "GeneralMipNerfModel"
+    coarse_hidden_size: int = 256
+    fine_hidden_size: int = 256
+    ray_shape: str = "cone"
+    train: NerfModeConfig = field(default_factory=NerfModeConfig)
+    validation: NerfModeConfig = field(
+        default_factory=lambda: NerfModeConfig(perturb=False)
+    )
+
+    def mode(self, mode: str) -> NerfModeConfig:
+        return self.train if mode == "train" else self.validation
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """TPU-native extension (no reference equivalent; the reference is
+    single-device — SURVEY.md §2). Controls the device mesh layout."""
+
+    data_axis: str = "data"
+    num_devices: int = 0  # 0 => use all available devices
+    # precision policy for the MLP evaluation ("bfloat16" rides the MXU at 2x).
+    compute_dtype: str = "float32"
+    # use the fused Pallas MLP kernel where available
+    use_pallas_mlp: bool = False
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    experiment: ExperimentConfig = field(default_factory=ExperimentConfig)
+    train_params: TrainParamsConfig = field(default_factory=TrainParamsConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    nerf: NerfConfig = field(default_factory=NerfConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    # ------------------------------------------------------------------ YAML
+
+    @classmethod
+    def from_yaml(cls, path_or_stream) -> "Config":
+        if hasattr(path_or_stream, "read"):
+            d = yaml.safe_load(path_or_stream)
+        else:
+            with open(path_or_stream, "r") as f:
+                d = yaml.safe_load(f)
+        return cls.from_dict(d or {})
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        exp = d.get("experiment", {}) or {}
+        tp = d.get("train_params", {}) or {}
+        ds = d.get("dataset", {}) or {}
+        opt = d.get("optimizer", {}) or {}
+        nerf = d.get("nerf", {}) or {}
+        par = d.get("parallel", {}) or {}
+
+        def build(dc_cls, src: dict, **extra):
+            kwargs = dict(extra)
+            names = {f.name for f in fields(dc_cls)}
+            for k, v in (src or {}).items():
+                if k in names and not isinstance(v, dict):
+                    if isinstance(v, list):
+                        v = tuple(v)
+                    kwargs[k] = v
+            return dc_cls(**kwargs)
+
+        bd = ds.get("bd_factor", None)
+        if bd is False or bd == 0:
+            bd = None
+        ds = dict(ds)
+        ds["bd_factor"] = bd
+
+        nerf_cfg = build(
+            NerfConfig,
+            nerf,
+            train=build(NerfModeConfig, nerf.get("train", {})),
+            validation=build(NerfModeConfig, nerf.get("validation", {})),
+        )
+        return cls(
+            experiment=build(ExperimentConfig, exp),
+            train_params=build(TrainParamsConfig, tp),
+            dataset=build(DatasetConfig, ds),
+            optimizer=build(OptimizerConfig, opt),
+            nerf=nerf_cfg,
+            parallel=build(ParallelConfig, par),
+        )
+
+    def to_dict(self) -> dict:
+        def conv(obj):
+            if is_dataclass(obj):
+                return {f.name: conv(getattr(obj, f.name)) for f in fields(obj)}
+            if isinstance(obj, tuple):
+                return list(obj)
+            return obj
+
+        return conv(self)
+
+    def dump(self) -> str:
+        """YAML round-trip, mirroring ``CfgNode.dump`` (cfgnode.py:167) used by
+        the config-snapshot contract (train_model.py:44-46)."""
+        buf = io.StringIO()
+        yaml.safe_dump(self.to_dict(), buf, default_flow_style=False)
+        return buf.getvalue()
+
+    # ------------------------------------------------------------- utilities
+
+    def replace_at(self, path: str, value: Any) -> "Config":
+        """Return a new Config with ``path`` (dot-separated) replaced."""
+        parts = path.split(".")
+
+        def rec(node, parts):
+            if len(parts) == 1:
+                return replace(node, **{parts[0]: value})
+            child = getattr(node, parts[0])
+            return replace(node, **{parts[0]: rec(child, parts[1:])})
+
+        return rec(self, parts)
+
+    def resolved(self) -> "Config":
+        """Apply the derived-value rules the reference applies at startup:
+
+        * auto ``dist_reg_coeficient = clip(1/num_coarse, 0.01, 0.12)``
+          (train_model.py:124-126);
+        * pose-normalization rescale of near/far/combined_split
+          (data_utils.py:67-74) is handled in the data layer, not here, so the
+          config stays the single source of truth for raw values.
+        """
+        cfg = self
+        if cfg.train_params.set_automatic_dist_reg_coeficient:
+            coef = min(max(1.0 / cfg.nerf.train.num_coarse, 0.01), 0.12)
+            cfg = cfg.replace_at("train_params.dist_reg_coeficient", coef)
+        return cfg
+
+    def is_ddnerf(self) -> bool:
+        return self.nerf.type == "DDNerfModel"
+
+
+def load_config(path: str) -> Config:
+    return Config.from_yaml(path).resolved()

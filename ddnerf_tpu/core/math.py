@@ -1,0 +1,217 @@
+"""Pure-jnp mip-NeRF / DDNeRF math core.
+
+TPU-native rewrite of the reference math layer
+(``/root/reference/general_utils/math_utils.py``).  Every function here is a
+pure function of jnp arrays — safe under ``jit``/``vmap``/``grad`` and
+shardable with ``pjit``.  Shapes use ``[..., S]`` for per-ray sample axes so
+the same code serves a single ray, a batch, or a whole sharded image.
+
+Conventions
+-----------
+* ``t_vals`` are the S+1 "fencepost" distances of S sections along a ray.
+* All trig goes through :func:`safe_sin`/:func:`safe_cos` — the reference
+  itself warns that raw sin/cos NaN on TPU for large arguments
+  (math_utils.py:155-166).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# 100*pi: past this magnitude TPU transcendentals lose all precision; wrap.
+_TRIG_THRESHOLD = 100.0 * jnp.pi
+
+
+def safe_sin(x: jax.Array) -> jax.Array:
+    """sin with argument range-reduction (reference math_utils.py:155-166)."""
+    return jnp.sin(jnp.where(jnp.abs(x) < _TRIG_THRESHOLD, x, x % _TRIG_THRESHOLD))
+
+
+def safe_cos(x: jax.Array) -> jax.Array:
+    """cos with argument range-reduction (reference math_utils.py:155-166)."""
+    return jnp.cos(jnp.where(jnp.abs(x) < _TRIG_THRESHOLD, x, x % _TRIG_THRESHOLD))
+
+
+# --------------------------------------------------------------------------
+# Conical frustum -> Gaussian (reference math_utils.py:7-110)
+# --------------------------------------------------------------------------
+
+
+def lift_gaussian(d, t_mean, t_var, r_var, diag=True):
+    """Lift a 1-D Gaussian along ray direction ``d`` into 3-D coordinates.
+
+    Reference: math_utils.py:34-54.  ``d``: [..., 3]; ``t_mean``/``t_var``/
+    ``r_var``: [..., S].  Returns means [..., S, 3] and (diagonal) covariances
+    [..., S, 3].
+    """
+    mean = d[..., None, :] * t_mean[..., None]
+    d_mag_sq = jnp.maximum(1e-10, jnp.sum(d**2, axis=-1, keepdims=True))
+    if diag:
+        d_outer_diag = d**2
+        null_outer_diag = 1.0 - d_outer_diag / d_mag_sq
+        t_cov_diag = t_var[..., None] * d_outer_diag[..., None, :]
+        xy_cov_diag = r_var[..., None] * null_outer_diag[..., None, :]
+        return mean, t_cov_diag + xy_cov_diag
+    d_outer = d[..., :, None] * d[..., None, :]
+    eye = jnp.eye(d.shape[-1], dtype=d.dtype)
+    null_outer = eye - d[..., :, None] * (d / d_mag_sq)[..., None, :]
+    t_cov = t_var[..., None, None] * d_outer[..., None, :, :]
+    xy_cov = r_var[..., None, None] * null_outer[..., None, :, :]
+    return mean, t_cov + xy_cov
+
+
+def conical_frustum_to_gaussian(d, t0, t1, base_radius, diag=True):
+    """Stable Gaussian approximation of a conical frustum (mip-NeRF eq. 7).
+
+    Reference: math_utils.py:57-88 (``stable=True`` branch only; the unstable
+    closed form "will cause catastrophic failure" per its own docstring, so it
+    is deliberately not carried over).
+    """
+    mu = (t0 + t1) / 2.0
+    hw = (t1 - t0) / 2.0
+    denom = 3.0 * mu**2 + hw**2
+    t_mean = mu + (2.0 * mu * hw**2) / denom
+    t_var = hw**2 / 3.0 - (4.0 / 15.0) * ((hw**4 * (12.0 * mu**2 - hw**2)) / denom**2)
+    r_var = base_radius**2 * (
+        mu**2 / 4.0 + (5.0 / 12.0) * hw**2 - (4.0 / 15.0) * hw**4 / denom
+    )
+    return lift_gaussian(d, t_mean, t_var, r_var, diag)
+
+
+def cylinder_to_gaussian(d, t0, t1, radius, diag=True):
+    """Gaussian approximation of a cylinder (reference math_utils.py:91-110)."""
+    t_mean = (t0 + t1) / 2.0
+    r_var = radius**2 / 4.0
+    t_var = (t1 - t0) ** 2 / 12.0
+    return lift_gaussian(d, t_mean, t_var, r_var, diag)
+
+
+def cast_rays(t_vals, origins, directions, radii, ray_shape="cone", diag=True):
+    """Featurize ray sections as Gaussians (reference math_utils.py:7-31).
+
+    ``t_vals``: [..., S+1]; ``origins``/``directions``: [..., 3]; ``radii``:
+    [..., 1].  Returns (means [..., S, 3], covs [..., S, 3]).
+    """
+    t0 = t_vals[..., :-1]
+    t1 = t_vals[..., 1:]
+    if ray_shape == "cone":
+        gaussian_fn = conical_frustum_to_gaussian
+    elif ray_shape == "cylinder":
+        gaussian_fn = cylinder_to_gaussian
+    else:
+        raise ValueError(f"unknown ray_shape {ray_shape!r}")
+    means, covs = gaussian_fn(directions, t0, t1, radii, diag)
+    return means + origins[..., None, :], covs
+
+
+# --------------------------------------------------------------------------
+# Integrated positional encoding (reference math_utils.py:112-152)
+# --------------------------------------------------------------------------
+
+
+def expected_sin(x, x_var):
+    """E[sin z], Var[sin z] for z ~ N(x, x_var) (math_utils.py:146-152)."""
+    y = jnp.exp(-0.5 * x_var) * safe_sin(x)
+    y_var = jnp.maximum(
+        0.0, 0.5 * (1.0 - jnp.exp(-2.0 * x_var) * safe_cos(2.0 * x)) - y**2
+    )
+    return y, y_var
+
+
+def integrated_pos_enc(means_covs, min_deg=0, max_deg=16, diag=True):
+    """IPE over degrees ``[min_deg, max_deg)`` (math_utils.py:112-144).
+
+    Input: ``(means [..., 3], covs [..., 3])`` diagonal Gaussians.
+    Output: [..., 2*3*(max_deg-min_deg)] — sin/cos features attenuated by the
+    per-frequency variance.  Pure elementwise work: XLA fuses the whole thing
+    into the consuming matmul's prologue on TPU.
+    """
+    if not diag:
+        raise NotImplementedError("full-covariance IPE not used by any config")
+    x, x_cov_diag = means_covs
+    scales = jnp.asarray([2.0**i for i in range(min_deg, max_deg)], dtype=x.dtype)
+    shape = x.shape[:-1] + (-1,)
+    # [..., D, 3] * [L, 1] -> [..., L, 3] -> [..., L*3]
+    y = jnp.reshape(x[..., None, :] * scales[:, None], shape)
+    y_var = jnp.reshape(x_cov_diag[..., None, :] * scales[:, None] ** 2, shape)
+    return expected_sin(
+        jnp.concatenate([y, y + 0.5 * jnp.pi], axis=-1),
+        jnp.concatenate([y_var] * 2, axis=-1),
+    )[0]
+
+
+def positional_encoding(x, num_freqs=4, include_input=True):
+    """Classic NeRF PE used for view directions (nerf_helpers.py:127-171).
+
+    log-sampled frequency bands 2^0..2^(num_freqs-1); output layout matches
+    the reference: ``[x, sin(f0 x), cos(f0 x), sin(f1 x), cos(f1 x), ...]``.
+    """
+    if num_freqs == 0:
+        return x
+    freqs = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype)
+    xb = x[..., None, :] * freqs[:, None]  # [..., F, D]
+    enc = jnp.stack([jnp.sin(xb), jnp.cos(xb)], axis=-2)  # [..., F, 2, D]
+    enc = enc.reshape(x.shape[:-1] + (-1,))
+    if include_input:
+        enc = jnp.concatenate([x, enc], axis=-1)
+    return enc
+
+
+# --------------------------------------------------------------------------
+# Truncated-Gaussian CDF machinery (reference math_utils.py:193-208)
+# --------------------------------------------------------------------------
+
+_SQRT2 = 1.4142135623730951
+
+
+def normal_cdf(x):
+    """Standard normal CDF Φ(x) via erf (math_utils.py:193-199)."""
+    return 0.5 * (1.0 + jax.lax.erf(x / _SQRT2))
+
+
+def normal_inverse_cdf(x):
+    """Standard normal inverse CDF Φ⁻¹(x) via erfinv (math_utils.py:202-208)."""
+    return _SQRT2 * jax.lax.erf_inv(2.0 * x - 1.0)
+
+
+# Backwards-compatible aliases matching the reference naming.
+approximate_cdf = normal_cdf
+approximate_inverse_cdf = normal_inverse_cdf
+
+
+def truncated_gaussian_tails(mus, sigmas):
+    """Tail mass of per-section N(mu, sigma) truncated to [0, 1].
+
+    Returns ``(left_tail, part_inside_bins)`` = (Φ((0-μ)/σ),
+    Φ((1-μ)/σ) - Φ((0-μ)/σ)) — the quantities DDNeRF uses to renormalize the
+    in-cell Gaussian (reference models/models.py:254-258).
+    """
+    x0 = (0.0 - mus) / sigmas
+    x1 = (1.0 - mus) / sigmas
+    left_tail = normal_cdf(x0)
+    part_inside_bins = normal_cdf(x1) - left_tail
+    return left_tail, part_inside_bins
+
+
+# --------------------------------------------------------------------------
+# Metrics helpers (reference nerf_helpers.py:8-16, math_utils.py:169-181)
+# --------------------------------------------------------------------------
+
+
+def img2mse(img_src, img_tgt):
+    return jnp.mean((img_src - img_tgt) ** 2)
+
+
+def mse2psnr(mse):
+    mse = jnp.maximum(mse, 1e-5)
+    return -10.0 * jnp.log10(mse)
+
+
+def bins_for_percentage(weights, percentage):
+    """Number of bins holding ``percentage`` of the ray's probability mass
+    (reference math_utils.py:169-181) — an info-concentration diagnostic."""
+    pdf = weights / jnp.sum(weights, axis=1, keepdims=True)
+    info_sorted = jnp.sort(pdf, axis=-1)[..., ::-1]
+    info_sum = jnp.cumsum(info_sorted[..., :-1], axis=-1)
+    return jnp.sum(info_sum < percentage, axis=1) + 1

@@ -1,0 +1,118 @@
+"""Differentiable volume rendering (alpha compositing).
+
+TPU-native rewrite of ``/root/reference/general_utils/volume_rendering_utils.py``
+and ``cumprod_exclusive`` (nerf_helpers.py:43-64).  Pure jnp; the whole
+composite is elementwise + two scans along the (small, static) sample axis, so
+XLA fuses it with the MLP epilogue — there is no separate "renderer" kernel to
+launch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def cumprod_exclusive(x: jax.Array) -> jax.Array:
+    """tf.math.cumprod(..., exclusive=True) along the last axis
+    (reference nerf_helpers.py:43-64)."""
+    return jnp.concatenate(
+        [jnp.ones_like(x[..., :1]), jnp.cumprod(x, axis=-1)[..., :-1]], axis=-1
+    )
+
+
+class RenderOutput(NamedTuple):
+    rgb: jax.Array  # [N, 3] composited color
+    disp: jax.Array  # [N] disparity map
+    acc: jax.Array  # [N] accumulated opacity
+    weights: jax.Array  # [N, S] compositing weights
+    depth: jax.Array  # [N] expected depth (mu-corrected when mus given)
+    corrected_disp: Optional[jax.Array]  # [N] or None
+    rgb_raw: jax.Array  # [N, S, 3] per-sample sigmoid colors
+
+
+def volume_render(
+    raw_rgb,
+    raw_density,
+    t_vals,
+    ray_directions,
+    *,
+    rng=None,
+    noise_std=0.0,
+    white_background=False,
+    mus=None,
+    eps_mask_pdf=False,
+) -> RenderOutput:
+    """Composite per-sample radiance into per-ray maps.
+
+    Mirrors ``volume_render_radiance_field`` (volume_rendering_utils.py:6-85):
+
+    * section mid-point depths; ``delta = dists * |rd|``;
+    * mip-NeRF rgb widening ``sigmoid(rgb)*(1+2e-3)-1e-3`` (:25-27);
+    * optional training-time density noise (:29-38);
+    * density activation ``softplus(raw - 1)`` (:40-41);
+    * ``alpha = 1-exp(-sigma*delta)``, weights via exclusive transmittance
+      cumprod (:42-43);
+    * ``eps_mask_pdf`` reproduces the blender/segmented epsilon-mask PDF
+      normalization (:50-61) — a detached 1e-10 on the last section so empty
+      rays get a valid pdf;
+    * when ``mus`` is given, the depth map uses the per-section expected depth
+      ``t0 + mu*len`` instead of the midpoint (:76-83) — the DDNeRF
+      mu-corrected depth.
+
+    Args:
+      raw_rgb: [N, S, 3] raw (pre-sigmoid) colors.
+      raw_density: [N, S] raw densities.
+      t_vals: [N, S+1] section fenceposts.
+      ray_directions: [N, 3] (not normalized; norm scales delta).
+    """
+    mids = (t_vals[..., 1:] + t_vals[..., :-1]) / 2.0
+    dists = t_vals[..., 1:] - t_vals[..., :-1]
+    delta = dists * jnp.linalg.norm(ray_directions, axis=-1, keepdims=True)
+
+    rgb = jax.nn.sigmoid(raw_rgb)
+    rgb = rgb * (1.0 + 2.0 * 0.001) - 0.001
+
+    density = raw_density
+    if noise_std > 0.0 and rng is not None:
+        density = density + jax.random.normal(rng, density.shape, density.dtype) * noise_std
+
+    sigma_a = jax.nn.softplus(density - 1.0)
+    alpha = 1.0 - jnp.exp(-sigma_a * delta)
+    weights = alpha * cumprod_exclusive(1.0 - alpha + 1e-10)
+
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+
+    if eps_mask_pdf:
+        eps_mask = jnp.zeros_like(weights).at[..., -1].add(1e-10)
+        weights = weights + jax.lax.stop_gradient(eps_mask)
+        pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    else:
+        pdf = weights
+
+    depth_map = jnp.sum(pdf * mids, axis=-1)
+    acc_map = jnp.sum(weights, axis=-1)
+    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)
+
+    if white_background:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    corrected_disp = None
+    if mus is not None:
+        section_len = t_vals[..., 1:] - t_vals[..., :-1]
+        section_mus = t_vals[..., :-1] + mus * section_len
+        corrected_depth = jnp.sum(pdf * section_mus, axis=-1)
+        corrected_disp = 1.0 / jnp.maximum(1e-10, corrected_depth / acc_map)
+        depth_map = corrected_depth
+
+    return RenderOutput(
+        rgb=rgb_map,
+        disp=disp_map,
+        acc=acc_map,
+        weights=weights,
+        depth=depth_map,
+        corrected_disp=corrected_disp,
+        rgb_raw=rgb,
+    )

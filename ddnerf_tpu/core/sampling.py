@@ -1,0 +1,250 @@
+"""Ray-section samplers: stratified, PDF, and truncated-Gaussian PDF.
+
+TPU-native rewrite of ``/root/reference/models/samplers.py``.  Differences
+from the reference that matter for TPU/XLA:
+
+* The reference locates CDF intervals with an O(S·M)-memory broadcast-mask
+  ``find_interval`` trick (samplers.py:106-119).  Here the interval index is
+  computed with one masked *count* reduction (``sum(u >= cdf) - 1``) and the
+  per-interval quantities are fetched with ``take_along_axis`` — same result
+  (both exploit that the CDF is sorted), one [.., S+1, M] boolean instead of
+  four, and single-pass gathers that XLA lowers to cheap dynamic-slices.
+* ``pdf_padding`` flips from True to False mid-training
+  (train_model.py:140-142).  It enters here as a *traced* boolean so the flip
+  does not trigger recompilation; both padding variants are a handful of VPU
+  ops, so computing both and selecting is free.
+* Randomness is explicit ``jax.random`` keys instead of global torch RNG.
+* No ``torch.nn.Parameter`` wrapping of samples (samplers.py:121,215) — a
+  gradient-irrelevant quirk deliberately dropped (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ddnerf_tpu.core import math as mmath
+
+
+# --------------------------------------------------------------------------
+# First-cycle (coarse) sampling — reference samplers.py:6-62
+# --------------------------------------------------------------------------
+
+
+def combined_samples(num_coarse, near, far, combined_near, combined_split):
+    """Half-uniform-then-log section spacing for unbounded 360 scenes
+    (reference samplers.py:6-27).  ``near``/``far``: [N, 1] per-ray bounds;
+    ``combined_near``/``combined_split``: dataset-level scalars."""
+    t = jnp.linspace(0.0, 1.0, num_coarse // 2 + 1, dtype=near.dtype)
+    t_uniform = combined_near * (1.0 - t) + combined_split * t
+
+    min_d = combined_split
+    max_d = far[0, 0] if far.ndim == 2 else far.reshape(-1)[0]
+    d_i = min_d * (1.0 - t) + max_d * t
+    t_nonuniform = min_d + jnp.sort(
+        1.0 - (jnp.log2(d_i - min_d + 1.0) / jnp.log2(max_d - min_d + 1.0))
+    ) * (max_d - min_d)
+
+    t_vals = jnp.concatenate([t_uniform, t_nonuniform[1:]])
+    return jnp.broadcast_to(t_vals, near.shape[:-1] + (num_coarse + 1,))
+
+
+def sample_first_cycle(
+    rng,
+    near,
+    far,
+    num_coarse,
+    *,
+    lindisp=False,
+    perturb=True,
+    combined=False,
+    combined_near=None,
+    combined_split=None,
+):
+    """Coarse fenceposts: linspace in depth (or disparity), optionally
+    stratified-perturbed with the endpoints pinned to near/far
+    (reference samplers.py:30-62).
+
+    ``near``/``far``: [N, 1].  Returns t_vals [N, num_coarse+1].
+    """
+    t = jnp.linspace(0.0, 1.0, num_coarse + 1, dtype=near.dtype)
+    if lindisp:
+        t_vals = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+    else:
+        t_vals = near * (1.0 - t) + far * t
+
+    if combined:
+        t_vals = combined_samples(num_coarse, near, far, combined_near, combined_split)
+
+    if perturb:
+        mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+        upper = jnp.concatenate([mids, t_vals[..., -1:]], axis=-1)
+        lower = jnp.concatenate([t_vals[..., :1], mids], axis=-1)
+        t_rand = jax.random.uniform(rng, t_vals.shape, dtype=t_vals.dtype)
+        t_vals = lower + (upper - lower) * t_rand
+        t_vals = t_vals.at[..., 0].set(near[..., 0])
+        t_vals = t_vals.at[..., -1].set(far[..., 0])
+
+    return t_vals
+
+
+# --------------------------------------------------------------------------
+# Weight blur / padding — shared prologue of both resamplers
+# (reference samplers.py:69-86 and 130-146)
+# --------------------------------------------------------------------------
+
+
+def _blur_and_pad_weights(weights, pdf_padding):
+    """mip-NeRF weight filter.  ``pdf_padding`` is a traced bool: True ->
+    maxpool+0.5 blur + 0.01 pad; False -> 0.8/0.1/0.1 neighbor mix + 0.01."""
+    weights_pad = jnp.concatenate(
+        [weights[..., :1], weights, weights[..., -1:]], axis=-1
+    )
+    weights_max = jnp.maximum(weights_pad[..., :-1], weights_pad[..., 1:])
+    weights_blur = 0.5 * (weights_max[..., :-1] + weights_max[..., 1:])
+
+    prev = weights_pad[..., :-2]
+    nxt = weights_pad[..., 2:]
+    mixed = 0.8 * weights + 0.1 * prev + 0.1 * nxt
+
+    return jnp.where(pdf_padding, weights_blur, mixed) + 0.01
+
+
+def _build_cdf(weights):
+    """PDF-normalize and build the S+1 CDF fenceposts [0, ..., 1]
+    (reference samplers.py:87-91)."""
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.minimum(1.0, jnp.cumsum(pdf[..., :-1], axis=-1))
+    return jnp.concatenate(
+        [jnp.zeros_like(cdf[..., :1]), cdf, jnp.ones_like(cdf[..., :1])], axis=-1
+    )
+
+
+def _interval_index(u, cdf):
+    """Index of the CDF interval containing each u.
+
+    Equivalent to the reference's broadcast-mask ``find_interval``
+    (samplers.py:106-119): because ``cdf`` is sorted, the interval is
+    ``(#fenceposts <= u) - 1``.  Returns int32 [..., M] in [0, S-1].
+    """
+    num_bins = cdf.shape[-1] - 1
+    mask = u[..., None, :] >= cdf[..., :, None]  # [..., S+1, M]
+    ind = jnp.sum(mask, axis=-2, dtype=jnp.int32) - 1
+    return jnp.clip(ind, 0, num_bins - 1)
+
+
+def _take(x, ind):
+    return jnp.take_along_axis(x, ind, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Plain inverse-CDF resampler — reference samplers.py:64-121
+# --------------------------------------------------------------------------
+
+
+def sample_pdf(rng, bins, weights, num_samples, *, pdf_padding, det=True):
+    """Inverse-transform resampling of ``num_samples`` fenceposts from the
+    histogram (bins [N,S+1], weights [N,S]) with uniform-in-cell placement
+    (reference samplers.py:64-121)."""
+    weights = _blur_and_pad_weights(weights, pdf_padding)
+    cdf = _build_cdf(weights)
+    shape = cdf.shape[:-1] + (num_samples,)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, num_samples, dtype=weights.dtype)
+        u = jnp.broadcast_to(u, shape)
+    else:
+        s = 1.0 / num_samples
+        u = jnp.arange(num_samples, dtype=weights.dtype) * s
+        u = jnp.broadcast_to(u, shape)
+        u = u + jax.random.uniform(rng, shape, dtype=weights.dtype) / (
+            (1.0 / s) + 1e-5
+        )
+        u = jnp.minimum(u, 0.9999)
+
+    ind = _interval_index(u, cdf)
+    bins_g0, bins_g1 = _take(bins, ind), _take(bins, ind + 1)
+    cdf_g0, cdf_g1 = _take(cdf, ind), _take(cdf, ind + 1)
+
+    denom = cdf_g1 - cdf_g0
+    t = jnp.clip(jnp.where(denom > 0, (u - cdf_g0) / jnp.where(denom > 0, denom, 1.0), 0.0), 0.0, 1.0)
+    return bins_g0 + t * (bins_g1 - bins_g0)
+
+
+# --------------------------------------------------------------------------
+# Truncated-Gaussian inverse-CDF resampler — the DDNeRF contribution
+# (reference samplers.py:124-215)
+# --------------------------------------------------------------------------
+
+
+def sample_pdf_with_mu_sigma(
+    rng,
+    bins,
+    weights,
+    mus,
+    sigmas,
+    part_inside_bins,
+    left_tail,
+    num_samples,
+    *,
+    near,
+    far,
+    pdf_padding,
+    det=True,
+):
+    """Resample fenceposts through the per-section truncated-Gaussian inverse
+    CDF (reference samplers.py:124-215).
+
+    Within the interval chosen by the histogram CDF, a uniform variate is
+    mapped through the section's N(mu, sigma) truncated to [0, 1]:
+    ``z = ((u-cdf0)/(cdf1-cdf0))*part_inside + left_tail`` -> ``Φ⁻¹(z)`` ->
+    ``t = clip(z*σ+μ, 0, 0.99999)`` -> lerp inside the section.  Endpoints are
+    forced to near/far and the result re-sorted (samplers.py:210-213).
+
+    All clamp constants (0.999 on z, 0.99999 on t, 0.9999 on u) match the
+    reference exactly — SURVEY.md §7 flags them as parity-critical.
+    """
+    weights = _blur_and_pad_weights(weights, pdf_padding)
+    cdf = _build_cdf(weights)
+    shape = cdf.shape[:-1] + (num_samples,)
+
+    if det:
+        u = jnp.linspace(0.0, 0.9999, num_samples, dtype=weights.dtype)
+        u = jnp.broadcast_to(u, shape)
+    else:
+        s = 1.0 / (num_samples - 1)
+        u = jnp.arange(num_samples, dtype=weights.dtype) * s
+        u = jnp.broadcast_to(u, shape)
+        u = u + jax.random.uniform(rng, shape, dtype=weights.dtype) / (
+            num_samples + 1e-5
+        )
+        u = jnp.clip(u, 0.0, 0.9999)
+
+    if bins.shape[-1] == 2:
+        # Single coarse section (reference samplers.py:185-190).
+        z = u * part_inside_bins + left_tail
+        new_mus, new_sigmas = mus, sigmas
+        bins_g0 = bins[..., 0:1]
+        bins_g1 = bins[..., 1:2]
+    else:
+        ind = _interval_index(u, cdf)
+        bins_g0, bins_g1 = _take(bins, ind), _take(bins, ind + 1)
+        cdf_g0, cdf_g1 = _take(cdf, ind), _take(cdf, ind + 1)
+
+        pib = _take(part_inside_bins, ind)
+        lt = _take(left_tail, ind)
+
+        denom = cdf_g1 - cdf_g0
+        frac = jnp.where(denom > 0, (u - cdf_g0) / jnp.where(denom > 0, denom, 1.0), 0.0)
+        z = jnp.minimum(frac * pib + lt, 0.999)
+
+        new_mus = _take(mus, ind)
+        new_sigmas = _take(sigmas, ind)
+
+    z = mmath.normal_inverse_cdf(z)
+    t = jnp.clip(z * new_sigmas + new_mus, 0.0, 0.99999)
+    samples = bins_g0 + t * (bins_g1 - bins_g0)
+
+    samples = samples.at[..., 0].set(near)
+    samples = samples.at[..., -1].set(far)
+    return jnp.sort(samples, axis=-1)

@@ -1,0 +1,338 @@
+"""The coarse→fine rendering pipeline, as pure functions.
+
+TPU-native rewrite of ``GeneralMipNerfModel`` / ``DDNerfModel``
+(``/root/reference/models/models.py``).  The reference's nn.Module facade with
+a serial chunk loop (models.py:53, 135-137) becomes a single traced function
+over the whole ray batch: batching/sharding happens *outside* (pjit over the
+ray axis), chunking for memory happens via ``jax.lax.map`` at render time only.
+
+One pipeline call = one fused XLA program: stratified sample → cast to
+frustum Gaussians → IPE → coarse MLP → composite → truncated-Gaussian
+resample → fine MLP → composite → losses.  No host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ddnerf_tpu.config import Config
+from ddnerf_tpu.core import dd, rendering, sampling
+from ddnerf_tpu.core import math as mmath
+from ddnerf_tpu.models.mlp import DepthMipMLP, MipMLP
+
+
+@flax.struct.dataclass
+class RayBatch:
+    """A bundle of rays: the traced equivalent of the reference's packed
+    12-dim ray layout ``[ro, rd, radius, near, far, viewdirs]``
+    (models.py:144-162)."""
+
+    origins: jax.Array  # [N, 3]
+    directions: jax.Array  # [N, 3]
+    radii: jax.Array  # [N, 1]
+    viewdirs: jax.Array  # [N, 3]
+    near: jax.Array  # [N, 1]
+    far: jax.Array  # [N, 1]
+
+    @classmethod
+    def create(cls, origins, directions, radii, near, far):
+        origins = origins.reshape(-1, 3)
+        directions = directions.reshape(-1, 3)
+        radii = radii.reshape(-1, 1)
+        viewdirs = directions / jnp.linalg.norm(directions, axis=-1, keepdims=True)
+        ones = jnp.ones_like(directions[..., :1])
+        return cls(
+            origins=origins,
+            directions=directions,
+            radii=radii,
+            viewdirs=viewdirs,
+            near=near * ones,
+            far=far * ones,
+        )
+
+    @property
+    def num_rays(self):
+        return self.origins.shape[0]
+
+
+class ScheduleValues(NamedTuple):
+    """Traced per-step values replacing the reference's runtime config
+    mutation (train_model.py:121-142)."""
+
+    gaussian_smooth_factor: jax.Array  # f32 scalar
+    pdf_padding: jax.Array  # bool scalar
+
+    @classmethod
+    def for_eval(cls, cfg: Config):
+        """Eval-time fixup: pdf_padding off, final smooth — mirrors
+        eval_nerf.py:53-55."""
+        tp = cfg.train_params
+        smooth = (
+            tp.final_smooth
+            if cfg.experiment.train_iters > tp.max_pdf_pad_iters
+            else tp.gaussian_smooth_factor
+        )
+        return cls(
+            gaussian_smooth_factor=jnp.asarray(smooth, jnp.float32),
+            pdf_padding=jnp.asarray(False),
+        )
+
+
+def _dtype_of(cfg: Config):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        cfg.parallel.compute_dtype
+    ]
+
+
+class NerfPipeline:
+    """Config-selected pair of MLPs + the pure rendering functions.
+
+    This object holds only *static* configuration (hashable) — parameters
+    live in a separate pytree, so ``render_rays`` closes over nothing traced.
+    """
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        dtype = _dtype_of(cfg)
+        if cfg.is_ddnerf():
+            self.coarse = DepthMipMLP(hidden_size=cfg.nerf.coarse_hidden_size, dtype=dtype)
+            self.fine = MipMLP(hidden_size=cfg.nerf.fine_hidden_size, dtype=dtype)
+            self.shared_net = False
+        else:
+            self.coarse = MipMLP(hidden_size=cfg.nerf.coarse_hidden_size, dtype=dtype)
+            self.fine = None  # one shared net for both cycles (models.py:28)
+            self.shared_net = True
+
+        ds = cfg.dataset
+        self._eps_mask_pdf = ds.type.lower() == "blender" or ds.basedir.endswith(
+            "segmented"
+        )
+        self._filter_empty = ds.type.lower() == "blender"
+
+    # ------------------------------------------------------------------ init
+
+    def init_params(self, rng) -> Dict[str, Any]:
+        ipe = jnp.zeros((1, 1, 96), jnp.float32)
+        dirs = jnp.zeros((1, 1, 27), jnp.float32)
+        rc, rf = jax.random.split(rng)
+        params = {"coarse": self.coarse.init(rc, ipe, dirs)["params"]}
+        if not self.shared_net:
+            params["fine"] = self.fine.init(rf, ipe, dirs)["params"]
+        return params
+
+    # --------------------------------------------------------------- network
+
+    def _run_network(self, module, params, rays: RayBatch, t_vals):
+        """cast_rays → IPE → viewdir PE → MLP (reference models.py:117-142)."""
+        means, covs = mmath.cast_rays(
+            t_vals, rays.origins, rays.directions, rays.radii, self.cfg.nerf.ray_shape
+        )
+        ipe = mmath.integrated_pos_enc((means, covs))  # [N, S, 96]
+        dirs_enc = mmath.positional_encoding(rays.viewdirs, num_freqs=4)  # [N, 27]
+        dirs_b = jnp.broadcast_to(
+            dirs_enc[..., None, :], ipe.shape[:-1] + (dirs_enc.shape[-1],)
+        )
+        return module.apply({"params": params}, ipe, dirs_b)
+
+    # ---------------------------------------------------------------- render
+
+    def render_rays(
+        self,
+        params: Dict[str, Any],
+        rays: RayBatch,
+        rng: jax.Array,
+        sched: ScheduleValues,
+        mode: str = "train",
+    ) -> Dict[int, Dict[str, jax.Array]]:
+        """Full coarse→fine pass.  Returns ``{0: coarse dict, 1: fine dict}``
+        mirroring the reference ``ret_dict`` (models.py:108, 297)."""
+        if self.cfg.is_ddnerf():
+            return self._render_dd(params, rays, rng, sched, mode)
+        return self._render_mipnerf(params, rays, rng, sched, mode)
+
+    def _first_cycle_tvals(self, rng, rays: RayBatch, mc):
+        ds = self.cfg.dataset
+        return sampling.sample_first_cycle(
+            rng,
+            rays.near,
+            rays.far,
+            mc.num_coarse,
+            lindisp=mc.lindisp,
+            perturb=mc.perturb,
+            combined=ds.combined_sampling_method,
+            combined_near=ds.near,
+            combined_split=ds.combined_split,
+        )
+
+    def _render_mipnerf(self, params, rays, rng, sched, mode):
+        """GeneralMipNerfModel.predict (models.py:75-114): one shared net,
+        plain inverse-CDF resampling."""
+        cfg = self.cfg
+        mc = cfg.nerf.mode(mode)
+        r_strat, r_n0, r_resample, r_n1 = jax.random.split(rng, 4)
+
+        ret: Dict[int, Dict[str, jax.Array]] = {}
+
+        t_vals = self._first_cycle_tvals(r_strat, rays, mc)
+        for i in range(2):
+            if i == 1:
+                t_vals = sampling.sample_pdf(
+                    r_resample,
+                    t_vals,
+                    weights,
+                    mc.num_fine + 1,
+                    pdf_padding=sched.pdf_padding,
+                    det=not mc.perturb,
+                )
+                t_vals = jax.lax.stop_gradient(t_vals)
+
+            raw = self._run_network(self.coarse, params["coarse"], rays, t_vals)
+            out = rendering.volume_render(
+                raw[..., :3],
+                raw[..., 3],
+                t_vals,
+                rays.directions,
+                rng=r_n0 if i == 0 else r_n1,
+                noise_std=mc.radiance_field_noise_std,
+                white_background=mc.white_background,
+                eps_mask_pdf=self._eps_mask_pdf,
+            )
+            weights = out.weights
+            ret[i] = {
+                "rgb": out.rgb,
+                "disp": out.disp,
+                "acc": out.acc,
+                "weights": out.weights,
+                "depth": out.depth,
+                "t_vals": t_vals,
+            }
+        return ret
+
+    def _render_dd(self, params, rays, rng, sched, mode):
+        """DDNerfModel.predict (models.py:207-322)."""
+        cfg = self.cfg
+        mc = cfg.nerf.mode(mode)
+        tp = cfg.train_params
+        r_strat, r_n0, r_resample, r_n1 = jax.random.split(rng, 4)
+
+        # ---- cycle 0: coarse with depth-distribution head
+        t0 = self._first_cycle_tvals(r_strat, rays, mc)
+        raw0 = self._run_network(self.coarse, params["coarse"], rays, t0)  # [N,S,6]
+
+        raw_mus, raw_sigmas = raw0[..., 4], raw0[..., 5]
+        mus = jax.nn.sigmoid(raw_mus)
+        sigmas = jax.nn.sigmoid(raw_sigmas) + 0.001
+
+        # L2 regularizers on the raw heads (models.py:248-252): per-ray sums
+        # averaged over rays.
+        n_rays = raw_mus.shape[0]
+        sig_loss = jnp.sum(raw_sigmas**2) / n_rays
+        mus_loss = jnp.sum(raw_mus**2) / n_rays
+        mus_reg = tp.dist_reg_coeficient * mus_loss
+        sig_reg = tp.dist_reg_coeficient * sig_loss
+
+        left_tail, part_inside = mmath.truncated_gaussian_tails(mus, sigmas)
+
+        out0 = rendering.volume_render(
+            raw0[..., :3],
+            raw0[..., 3],
+            t0,
+            rays.directions,
+            rng=r_n0,
+            noise_std=mc.radiance_field_noise_std,
+            white_background=mc.white_background,
+            mus=mus,
+            eps_mask_pdf=self._eps_mask_pdf,
+        )
+
+        # Smooth the in-cell distribution before resampling (models.py:266-273)
+        smoothed_sigmas = sigmas * sched.gaussian_smooth_factor
+        s_left_tail, s_part_inside = mmath.truncated_gaussian_tails(
+            mus, smoothed_sigmas
+        )
+
+        # ---- cycle 1: fine
+        t1 = sampling.sample_pdf_with_mu_sigma(
+            r_resample,
+            t0,
+            out0.weights,
+            mus,
+            smoothed_sigmas,
+            s_part_inside,
+            s_left_tail,
+            mc.num_fine + 1,
+            near=cfg.dataset.near,
+            far=cfg.dataset.far,
+            pdf_padding=sched.pdf_padding,
+            det=not mc.perturb,
+        )
+        # The reference wraps samples in nn.Parameter, which detaches them
+        # from the sampling graph (samplers.py:215) — stop_gradient is the
+        # honest equivalent.
+        t1 = jax.lax.stop_gradient(t1)
+
+        raw1 = self._run_network(self.fine, params["fine"], rays, t1)  # [N,M,4]
+        out1 = rendering.volume_render(
+            raw1[..., :3],
+            raw1[..., 3],
+            t1,
+            rays.directions,
+            rng=r_n1,
+            noise_std=mc.radiance_field_noise_std,
+            white_background=mc.white_background,
+            eps_mask_pdf=self._eps_mask_pdf,
+        )
+
+        # ---- depth-prediction KL loss (models.py:284-289)
+        sg = jax.lax.stop_gradient
+        dp = dd.estimate_dp_loss(
+            t1,
+            sg(t0),
+            sg(out1.weights),
+            out0.weights,
+            mus,
+            sigmas,
+            sg(left_tail),
+            sg(part_inside),
+            filter_empty_rays=self._filter_empty,
+        ) * (t1.shape[-1] - 1)
+        dp_loss = dp + mus_reg + sig_reg
+
+        ret0 = {
+            "rgb": out0.rgb,
+            "disp": out0.disp,
+            "acc": out0.acc,
+            "weights": out0.weights,
+            "depth": out0.depth,
+            "corrected_disp_map": out0.corrected_disp,
+            "mus": mus,
+            "sigmas": sigmas,
+            "smoothed_sigmas": smoothed_sigmas,
+            "mus_loss": mus_loss,
+            "sig_loss": sig_loss,
+            "mus_reg": mus_reg,
+            "sig_reg": sig_reg,
+            "t_vals": t0,
+        }
+        ret1 = {
+            "rgb": out1.rgb,
+            "disp": out1.disp,
+            "acc": out1.acc,
+            "weights": out1.weights,
+            "depth": out1.depth,
+            "dp_loss": dp_loss,
+            "t_vals": t1,
+        }
+        return {0: ret0, 1: ret1}
+
+
+def create_pipeline(cfg: Config) -> NerfPipeline:
+    """Factory mirroring ``getattr(models, cfg.nerf.type)(cfg)``
+    (train_model.py:70)."""
+    if cfg.nerf.type not in ("DDNerfModel", "GeneralMipNerfModel"):
+        raise ValueError(f"unknown nerf.type {cfg.nerf.type!r}")
+    return NerfPipeline(cfg)

@@ -1,0 +1,239 @@
+"""Golden-parity tests for the pure math core against the torch reference.
+
+The reference implementation at /root/reference is used strictly as an
+oracle: identical inputs in, outputs compared to tolerance.  Each test also
+has hand-computed sanity assertions so the suite still means something if the
+reference is absent.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddnerf_tpu.core import math as mmath
+from ddnerf_tpu.core import rendering
+
+from conftest import REFERENCE_PATH, reference_available
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="torch reference not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    import sys
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import general_utils.math_utils as ref_math
+    import general_utils.nerf_helpers as ref_helpers
+    import general_utils.volume_rendering_utils as ref_vr
+
+    return ref_math, ref_helpers, ref_vr
+
+
+def rand(rng, *shape):
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+# ----------------------------------------------------------------- cast_rays
+
+
+@requires_reference
+def test_cast_rays_parity(ref):
+    import torch
+
+    ref_math, _, _ = ref
+    rng = np.random.default_rng(0)
+    n, s = 4, 8
+    t_vals = np.sort(rng.uniform(2.0, 6.0, (n, s + 1)).astype(np.float32), axis=-1)
+    origins = rand(rng, n, 3)
+    directions = rand(rng, n, 3)
+    radii = np.abs(rand(rng, n, 1)) * 0.01
+
+    for shape in ["cone", "cylinder"]:
+        means_j, covs_j = mmath.cast_rays(
+            jnp.asarray(t_vals), jnp.asarray(origins), jnp.asarray(directions),
+            jnp.asarray(radii), ray_shape=shape,
+        )
+        means_t, covs_t = ref_math.cast_rays(
+            torch.tensor(t_vals), torch.tensor(origins), torch.tensor(directions),
+            torch.tensor(radii), ray_shape=shape,
+        )
+        np.testing.assert_allclose(means_j, means_t.numpy(), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(covs_j, covs_t.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_cast_rays_shapes_and_midpoint():
+    # A degenerate frustum (t0 == t1) collapses to a point at distance t0.
+    t_vals = jnp.array([[2.0, 2.0]])
+    origins = jnp.zeros((1, 3))
+    directions = jnp.array([[0.0, 0.0, -1.0]])
+    radii = jnp.full((1, 1), 0.01)
+    means, covs = mmath.cast_rays(t_vals, origins, directions, radii)
+    assert means.shape == (1, 1, 3)
+    np.testing.assert_allclose(means[0, 0], [0.0, 0.0, -2.0], atol=1e-6)
+
+
+# ----------------------------------------------------------------------- IPE
+
+
+@requires_reference
+def test_integrated_pos_enc_parity(ref):
+    import torch
+
+    ref_math, _, _ = ref
+    rng = np.random.default_rng(1)
+    x = rand(rng, 5, 7, 3)
+    var = np.abs(rand(rng, 5, 7, 3)) * 0.1
+
+    out_j = mmath.integrated_pos_enc((jnp.asarray(x), jnp.asarray(var)))
+    out_t = ref_math.integrated_pos_enc((torch.tensor(x), torch.tensor(var)))
+    assert out_j.shape == (5, 7, 96)
+    np.testing.assert_allclose(out_j, out_t.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_ipe_zero_variance_equals_plain_sin():
+    # With zero variance the IPE degenerates to plain sin of scaled coords.
+    x = jnp.array([[0.1, 0.2, 0.3]])
+    var = jnp.zeros_like(x)
+    out = mmath.integrated_pos_enc((x, var), max_deg=1)
+    expect = jnp.concatenate([jnp.sin(x), jnp.sin(x + 0.5 * jnp.pi)], axis=-1)
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
+def test_ipe_large_variance_shrinks_to_zero():
+    x = jnp.array([[0.1, 0.2, 0.3]])
+    var = jnp.full_like(x, 100.0)
+    out = mmath.integrated_pos_enc((x, var), max_deg=1)
+    np.testing.assert_allclose(out, jnp.zeros_like(out), atol=1e-6)
+
+
+@requires_reference
+def test_positional_encoding_parity(ref):
+    import torch
+
+    _, ref_helpers, _ = ref
+    rng = np.random.default_rng(2)
+    x = rand(rng, 11, 3)
+    out_j = mmath.positional_encoding(jnp.asarray(x), num_freqs=4)
+    out_t = ref_helpers.positional_encoding(torch.tensor(x), num_encoding_functions=4)
+    assert out_j.shape == (11, 27)
+    np.testing.assert_allclose(out_j, out_t.numpy(), rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------------------- trig / erf
+
+
+def test_safe_trig_large_args_finite():
+    x = jnp.array([1e8, -1e8, 1e4, 0.5])
+    assert np.all(np.isfinite(mmath.safe_sin(x)))
+    assert np.all(np.isfinite(mmath.safe_cos(x)))
+
+
+@requires_reference
+def test_normal_cdf_parity(ref):
+    import torch
+
+    ref_math, _, _ = ref
+    x = np.linspace(-4, 4, 101).astype(np.float32)
+    np.testing.assert_allclose(
+        mmath.normal_cdf(jnp.asarray(x)),
+        ref_math.approximate_cdf(torch.tensor(x)).numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
+    u = np.linspace(0.01, 0.99, 51).astype(np.float32)
+    np.testing.assert_allclose(
+        mmath.normal_inverse_cdf(jnp.asarray(u)),
+        ref_math.approximate_inverse_cdf(torch.tensor(u)).numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_cdf_inverse_roundtrip():
+    u = jnp.linspace(0.05, 0.95, 19)
+    np.testing.assert_allclose(
+        mmath.normal_cdf(mmath.normal_inverse_cdf(u)), u, atol=1e-5
+    )
+
+
+# ------------------------------------------------------------ volume render
+
+
+@requires_reference
+@pytest.mark.parametrize("white_background", [False, True])
+@pytest.mark.parametrize("eps_mask", [False, True])
+def test_volume_render_parity(ref, white_background, eps_mask):
+    import torch
+
+    ref_math, _, ref_vr = ref
+    rng = np.random.default_rng(3)
+    n, s = 6, 9
+    raw = rand(rng, n, s, 4)
+    t_vals = np.sort(rng.uniform(2.0, 6.0, (n, s + 1)).astype(np.float32), axis=-1)
+    rd = rand(rng, n, 3)
+    mus = 1.0 / (1.0 + np.exp(-rand(rng, n, s)))
+
+    class _C:  # minimal duck-typed cfg for the reference renderer
+        class dataset:
+            type = "blender" if eps_mask else "llff"
+            basedir = "x"
+
+    out_t = ref_vr.volume_render_radiance_field(
+        torch.tensor(raw), torch.tensor(t_vals), torch.tensor(rd),
+        radiance_field_noise_std=0.0, white_background=white_background,
+        mus=torch.tensor(mus), cfg=_C,
+    )
+    out_j = rendering.volume_render(
+        jnp.asarray(raw[..., :3]), jnp.asarray(raw[..., 3]), jnp.asarray(t_vals),
+        jnp.asarray(rd), noise_std=0.0, white_background=white_background,
+        mus=jnp.asarray(mus), eps_mask_pdf=eps_mask,
+    )
+    names = ["rgb", "disp", "acc", "weights", "depth", "corrected_disp"]
+    for name, t in zip(names, out_t[:6]):
+        j = getattr(out_j, name)
+        np.testing.assert_allclose(
+            j, t.numpy(), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
+def test_volume_render_opaque_wall():
+    # A single fully-opaque section at depth 3 -> depth map ~= its midpoint.
+    n, s = 1, 4
+    t_vals = jnp.linspace(2.0, 6.0, s + 1)[None]
+    raw_rgb = jnp.zeros((n, s, 3))
+    raw_density = jnp.array([[-100.0, 100.0, -100.0, -100.0]])
+    rd = jnp.array([[0.0, 0.0, 1.0]])
+    out = rendering.volume_render(raw_rgb, raw_density, t_vals, rd)
+    np.testing.assert_allclose(out.depth[0], 3.5, atol=0.05)
+    np.testing.assert_allclose(out.acc[0], 1.0, atol=1e-3)
+
+
+def test_cumprod_exclusive():
+    x = jnp.array([[2.0, 3.0, 4.0]])
+    np.testing.assert_allclose(
+        rendering.cumprod_exclusive(x), jnp.array([[1.0, 2.0, 6.0]])
+    )
+
+
+# ----------------------------------------------------------------- metrics
+
+
+def test_mse2psnr():
+    np.testing.assert_allclose(mmath.mse2psnr(jnp.asarray(0.01)), 20.0, atol=1e-4)
+
+
+@requires_reference
+def test_bins_for_percentage_parity(ref):
+    import torch
+
+    ref_math, _, _ = ref
+    rng = np.random.default_rng(4)
+    w = np.abs(rand(rng, 5, 16)) + 1e-3
+    np.testing.assert_array_equal(
+        np.asarray(mmath.bins_for_percentage(jnp.asarray(w), 0.9)),
+        ref_math.bins_for_percentage(torch.tensor(w), 0.9).numpy(),
+    )
