@@ -52,9 +52,17 @@ def estimate_dp_loss(
       filter_empty_rays: blender/segmented mode — exclude rays whose fine
         weights sum below 1e-10 (dd_utils.py:12-28), as a mask not a reshape.
 
-    Returns scalar: mean over (kept) rays of sum over fine sections of
-    ``pdf_1 * (log pdf_1 - log estimated_pdf_1)``, matching
-    ``kl_div(mean) * M`` in the reference call site (models.py:288).
+    Returns scalar: mean over (kept rays × fine sections) of
+    ``pdf_1 * (log pdf_1 - log estimated_pdf_1)`` — the exact contract of
+    ``torch.nn.functional.kl_div(reduction='mean')`` at dd_utils.py:76, which
+    the caller multiplies by M (models.py:288).
+
+    Deliberate fix vs the reference: the blender filter at dd_utils.py:22-28
+    drops empty rows from every tensor *except* ``left_tails_0``, so the
+    subsequent row-aligned gather (dd_utils.py:57) reads left tails from the
+    wrong rays whenever any ray is empty.  The masked formulation here keeps
+    all rows aligned, which is the intended semantics; parity with the torch
+    code is exact when no ray is filtered.
     """
     keep = jnp.sum(pdf_1, axis=1) > 1e-10  # [N]
 
@@ -94,7 +102,7 @@ def estimate_dp_loss(
 
     tgt = jax.lax.stop_gradient(pdf_1)
     kl = tgt * (jnp.log(tgt) - jnp.log(est_pdf_1))  # [N, M]
-    per_ray = jnp.sum(kl, axis=-1)
+    per_ray = jnp.mean(kl, axis=-1)
 
     if filter_empty_rays:
         count = jnp.maximum(jnp.sum(keep), 1)

@@ -1,0 +1,307 @@
+"""Golden-parity tests for the resamplers and the depth-distribution loss.
+
+Deterministic paths (det=True) are compared bit-for-bit-ish against the torch
+reference; stochastic paths are checked for structural invariants (sorted,
+in-range, endpoints pinned).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddnerf_tpu.core import dd, sampling
+from ddnerf_tpu.core import math as mmath
+
+from conftest import REFERENCE_PATH, reference_available
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="torch reference not available"
+)
+
+
+class _RefCfg:
+    """Duck-typed cfg for the reference samplers/dd_utils."""
+
+    def __init__(self, pdf_padding=True, ds_type="blender", near=2.0, far=6.0):
+        class TP:
+            pass
+
+        class DS:
+            pass
+
+        self.train_params = TP()
+        self.train_params.pdf_padding = pdf_padding
+        self.dataset = DS()
+        self.dataset.type = ds_type
+        self.dataset.near = near
+        self.dataset.far = far
+
+
+@pytest.fixture(scope="module")
+def ref():
+    import sys
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import models.samplers as ref_samplers
+    import models.dd_utils as ref_dd
+
+    return ref_samplers, ref_dd
+
+
+def _histogram(rng, n, s, near=2.0, far=6.0):
+    interior = rng.uniform(near, far, (n, s - 1)).astype(np.float32)
+    bins = np.concatenate(
+        [np.full((n, 1), near, np.float32), np.sort(interior, -1),
+         np.full((n, 1), far, np.float32)], axis=-1,
+    )
+    weights = (rng.uniform(0, 1, (n, s)) ** 2).astype(np.float32)
+    return bins, weights
+
+
+# ------------------------------------------------------------- sample_pdf
+
+
+@requires_reference
+@pytest.mark.parametrize("pdf_padding", [True, False])
+def test_sample_pdf_det_parity(ref, pdf_padding):
+    import torch
+
+    ref_samplers, _ = ref
+    rng = np.random.default_rng(0)
+    bins, weights = _histogram(rng, 7, 16)
+    m = 33
+
+    out_ref = ref_samplers.sample_pdf(
+        torch.tensor(bins), torch.tensor(weights), m,
+        _RefCfg(pdf_padding=pdf_padding), det=True,
+    ).detach().numpy()
+    out_jax = sampling.sample_pdf(
+        jax.random.PRNGKey(0), jnp.asarray(bins), jnp.asarray(weights), m,
+        pdf_padding=jnp.asarray(pdf_padding), det=True,
+    )
+    np.testing.assert_allclose(out_jax, out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sample_pdf_stochastic_invariants():
+    rng = np.random.default_rng(1)
+    bins, weights = _histogram(rng, 5, 8)
+    out = sampling.sample_pdf(
+        jax.random.PRNGKey(3), jnp.asarray(bins), jnp.asarray(weights), 17,
+        pdf_padding=jnp.asarray(True), det=False,
+    )
+    out = np.asarray(out)
+    assert (out >= bins[:, :1] - 1e-5).all() and (out <= bins[:, -1:] + 1e-5).all()
+
+
+def test_sample_pdf_concentrates_mass():
+    # All the weight in one section -> most samples land inside it.  With the
+    # 0.8/0.1/0.1 neighbor mix (pdf_padding=False) ~80% of mass stays put.
+    bins = jnp.asarray([[2.0, 3.0, 4.0, 5.0, 6.0]])
+    weights = jnp.asarray([[0.0, 100.0, 0.0, 0.0]])
+    out = sampling.sample_pdf(
+        jax.random.PRNGKey(0), bins, weights, 64,
+        pdf_padding=jnp.asarray(False), det=True,
+    )
+    frac_inside = np.mean((np.asarray(out) >= 3.0) & (np.asarray(out) <= 4.0))
+    assert frac_inside > 0.7
+
+
+# ------------------------------------------- sample_pdf_with_mu_sigma
+
+
+def _dd_inputs(rng, n, s):
+    bins, weights = _histogram(rng, n, s)
+    mus = rng.uniform(0.2, 0.8, (n, s)).astype(np.float32)
+    sigmas = rng.uniform(0.05, 0.5, (n, s)).astype(np.float32)
+    lt, pib = mmath.truncated_gaussian_tails(jnp.asarray(mus), jnp.asarray(sigmas))
+    return bins, weights, mus, sigmas, np.asarray(lt), np.asarray(pib)
+
+
+@requires_reference
+@pytest.mark.parametrize("pdf_padding", [True, False])
+def test_sample_pdf_mu_sigma_det_parity(ref, pdf_padding):
+    import torch
+
+    ref_samplers, _ = ref
+    rng = np.random.default_rng(2)
+    bins, weights, mus, sigmas, lt, pib = _dd_inputs(rng, 6, 12)
+    m = 25
+
+    out_ref = ref_samplers.sample_pdf_with_mu_sigma(
+        torch.tensor(bins), torch.tensor(weights), torch.tensor(mus),
+        torch.tensor(sigmas), torch.tensor(pib), torch.tensor(lt), m,
+        _RefCfg(pdf_padding=pdf_padding), det=True,
+    ).detach().numpy()
+    out_jax = sampling.sample_pdf_with_mu_sigma(
+        jax.random.PRNGKey(0), jnp.asarray(bins), jnp.asarray(weights),
+        jnp.asarray(mus), jnp.asarray(sigmas), jnp.asarray(pib), jnp.asarray(lt),
+        m, near=2.0, far=6.0, pdf_padding=jnp.asarray(pdf_padding), det=True,
+    )
+    np.testing.assert_allclose(out_jax, out_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sample_pdf_mu_sigma_endpoints_and_sorted():
+    rng = np.random.default_rng(3)
+    bins, weights, mus, sigmas, lt, pib = _dd_inputs(rng, 4, 9)
+    out = sampling.sample_pdf_with_mu_sigma(
+        jax.random.PRNGKey(7), jnp.asarray(bins), jnp.asarray(weights),
+        jnp.asarray(mus), jnp.asarray(sigmas), jnp.asarray(pib), jnp.asarray(lt),
+        13, near=2.0, far=6.0, pdf_padding=jnp.asarray(True), det=False,
+    )
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[:, 0], 2.0)
+    np.testing.assert_allclose(out[:, -1], 6.0)
+    assert (np.diff(out, axis=-1) >= 0).all()
+
+
+# ------------------------------------------------------------ dp loss
+
+
+@requires_reference
+@pytest.mark.parametrize("ds_type", ["blender", "llff"])
+def test_estimate_dp_loss_parity(ref, ds_type):
+    import torch
+
+    _, ref_dd = ref
+    rng = np.random.default_rng(4)
+    n, s, m = 8, 10, 14
+    t0, w0 = _histogram(rng, n, s)
+    t1, w1 = _histogram(rng, n, m)
+    mus = rng.uniform(0.2, 0.8, (n, s)).astype(np.float32)
+    sigmas = rng.uniform(0.05, 0.5, (n, s)).astype(np.float32)
+    lt, pib = mmath.truncated_gaussian_tails(jnp.asarray(mus), jnp.asarray(sigmas))
+    lt, pib = np.asarray(lt), np.asarray(pib)
+    # NOTE: no empty rays here on purpose — the reference's blender filter
+    # forgets to filter left_tails_0 (dd_utils.py:22-28), misaligning rows
+    # whenever a ray is dropped; we fix that, so exact parity only holds for
+    # the no-empty-ray case (see dd.estimate_dp_loss docstring).
+
+    out_ref = ref_dd.estimate_dp_loss(
+        torch.tensor(t1), torch.tensor(t0), torch.tensor(w1), torch.tensor(w0),
+        torch.tensor(mus), torch.tensor(sigmas), torch.tensor(lt),
+        torch.tensor(pib), _RefCfg(ds_type=ds_type),
+    ).item() * (m + 1 - 1)
+
+    out_jax = dd.estimate_dp_loss(
+        jnp.asarray(t1), jnp.asarray(t0), jnp.asarray(w1), jnp.asarray(w0),
+        jnp.asarray(mus), jnp.asarray(sigmas), jnp.asarray(lt), jnp.asarray(pib),
+        filter_empty_rays=(ds_type == "blender"),
+    ) * (m + 1 - 1)
+
+    np.testing.assert_allclose(float(out_jax), out_ref, rtol=2e-3, atol=1e-5)
+
+
+def test_dp_loss_zero_when_matched():
+    # When the fine histogram is resampled exactly from the coarse
+    # distribution, KL should be small; against a mismatched one, larger.
+    rng = np.random.default_rng(5)
+    n, s = 16, 8
+    t0, w0 = _histogram(rng, n, s)
+    mus = np.full((n, s), 0.5, np.float32)
+    sigmas = np.full((n, s), 10.0, np.float32)  # ~uniform in cell
+    lt, pib = mmath.truncated_gaussian_tails(jnp.asarray(mus), jnp.asarray(sigmas))
+
+    kl_self = dd.estimate_dp_loss(
+        jnp.asarray(t0), jnp.asarray(t0), jnp.asarray(w0), jnp.asarray(w0),
+        jnp.asarray(mus), jnp.asarray(sigmas), lt, pib, filter_empty_rays=False,
+    )
+    w_wrong = np.roll(w0, 3, axis=-1)
+    kl_wrong = dd.estimate_dp_loss(
+        jnp.asarray(t0), jnp.asarray(t0), jnp.asarray(w_wrong), jnp.asarray(w0),
+        jnp.asarray(mus), jnp.asarray(sigmas), lt, pib, filter_empty_rays=False,
+    )
+    assert float(kl_self) < float(kl_wrong)
+
+
+def test_dp_loss_all_empty_rays_is_zero():
+    rng = np.random.default_rng(6)
+    n, s, m = 4, 6, 9
+    t0, w0 = _histogram(rng, n, s)
+    t1, _ = _histogram(rng, n, m)
+    w1 = np.zeros((n, m), np.float32)
+    mus = np.full((n, s), 0.5, np.float32)
+    sigmas = np.full((n, s), 0.3, np.float32)
+    lt, pib = mmath.truncated_gaussian_tails(jnp.asarray(mus), jnp.asarray(sigmas))
+    out = dd.estimate_dp_loss(
+        jnp.asarray(t1), jnp.asarray(t0), jnp.asarray(w1), jnp.asarray(w0),
+        jnp.asarray(mus), jnp.asarray(sigmas), lt, pib, filter_empty_rays=True,
+    )
+    assert np.isfinite(float(out))
+
+
+# ----------------------------------------------------- first-cycle sampler
+
+
+def test_sample_first_cycle_no_perturb_linspace():
+    near = jnp.full((3, 1), 2.0)
+    far = jnp.full((3, 1), 6.0)
+    t = sampling.sample_first_cycle(
+        jax.random.PRNGKey(0), near, far, 8, perturb=False
+    )
+    np.testing.assert_allclose(t[0], np.linspace(2.0, 6.0, 9), atol=1e-6)
+
+
+def test_sample_first_cycle_perturb_pins_endpoints():
+    near = jnp.full((5, 1), 2.0)
+    far = jnp.full((5, 1), 6.0)
+    t = sampling.sample_first_cycle(
+        jax.random.PRNGKey(1), near, far, 8, perturb=True
+    )
+    t = np.asarray(t)
+    np.testing.assert_allclose(t[:, 0], 2.0)
+    np.testing.assert_allclose(t[:, -1], 6.0)
+    assert (np.diff(t, axis=-1) > 0).all()
+
+
+def test_sample_first_cycle_lindisp():
+    near = jnp.full((1, 1), 2.0)
+    far = jnp.full((1, 1), 6.0)
+    t = sampling.sample_first_cycle(
+        jax.random.PRNGKey(0), near, far, 4, lindisp=True, perturb=False
+    )
+    expect = 1.0 / np.linspace(1.0 / 2.0, 1.0 / 6.0, 5)
+    np.testing.assert_allclose(t[0], expect, rtol=1e-5)
+
+
+@requires_reference
+def test_sample_first_cycle_parity_no_perturb(ref):
+    import torch
+
+    ref_samplers, _ = ref
+
+    # Minimal duck-typed cfg tree for the reference sampler: it reads
+    # cfg.nerf[mode]['num_coarse'], cfg.nerf[mode]['perturb'],
+    # getattr(cfg.nerf, mode).lindisp, cfg.dataset.combined_sampling_method.
+    class _Mode:
+        lindisp = False
+
+        def __getitem__(self, k):
+            return {"num_coarse": 8, "perturb": False}[k]
+
+    class _NerfNode:
+        train = _Mode()
+
+        def __getitem__(self, k):
+            return _Mode()
+
+    class _DS:
+        combined_sampling_method = False
+
+    class _Cfg:
+        nerf = _NerfNode()
+        dataset = _DS()
+
+    cfg = _Cfg()
+
+    near = torch.full((3, 1), 2.0)
+    far = torch.full((3, 1), 6.0)
+    out_ref = ref_samplers.sample_first_cycle(cfg, near, far, "train").numpy()
+
+    out_jax = sampling.sample_first_cycle(
+        jax.random.PRNGKey(0), jnp.full((3, 1), 2.0), jnp.full((3, 1), 6.0), 8,
+        perturb=False,
+    )
+    np.testing.assert_allclose(out_jax, out_ref, rtol=1e-5, atol=1e-6)
