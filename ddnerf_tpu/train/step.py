@@ -1,0 +1,142 @@
+"""The jitted train / eval step.
+
+Replaces the hot loop body of ``/root/reference/train_model.py:132-177``:
+schedule evaluation, forward (coarse→fine), loss assembly
+(Σ coefⱼ·MSE + dp_coef·dp_loss), backward, and the optimizer update — all one
+XLA program.  The serial ray-chunk loop of the reference (models.py:53) does
+not exist: memory is managed by batch size and sharding, not host loops.
+
+Two batch sources:
+
+* :func:`make_train_step` — batch passed in (host sampling or an external
+  loader);
+* :func:`make_train_step_from_store` — rays sampled *on device* from a
+  resident ray store, eliminating the reference's per-iteration
+  host→device transfer (dataset.py:50-59).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ddnerf_tpu.config import Config
+from ddnerf_tpu.core import schedules
+from ddnerf_tpu.core.math import mse2psnr
+from ddnerf_tpu.data.datasets import sample_rays_on_device
+from ddnerf_tpu.models.nerf import NerfPipeline, RayBatch, ScheduleValues
+from ddnerf_tpu.train.state import TrainState, make_optimizer
+
+
+def schedule_values(cfg: Config, step) -> ScheduleValues:
+    return ScheduleValues(
+        gaussian_smooth_factor=schedules.gaussian_smooth_factor(step, cfg),
+        pdf_padding=schedules.pdf_padding(step, cfg),
+    )
+
+
+def compute_loss(
+    cfg: Config,
+    pipeline: NerfPipeline,
+    params,
+    rays: RayBatch,
+    target,
+    rng,
+    sched: ScheduleValues,
+    mode: str = "train",
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Loss assembly mirroring train_model.py:156-167."""
+    out = pipeline.render_rays(params, rays, rng, sched, mode)
+
+    loss_coarse = jnp.mean((out[0]["rgb"] - target) ** 2)
+    loss_fine = jnp.mean((out[1]["rgb"] - target) ** 2)
+    coefs = cfg.train_params.loss_coeficients
+    loss = coefs[0] * loss_coarse + coefs[1] * loss_fine
+
+    metrics = {
+        "loss_coarse": loss_coarse,
+        "loss_fine": loss_fine,
+        "psnr_coarse": mse2psnr(loss_coarse),
+        "psnr_fine": mse2psnr(loss_fine),
+    }
+    if cfg.is_ddnerf():
+        dp_loss = out[1]["dp_loss"]
+        loss = loss + cfg.train_params.dp_coeficient * dp_loss
+        metrics["dp_loss"] = dp_loss
+        metrics["mus_loss"] = out[0]["mus_loss"]
+        metrics["sig_loss"] = out[0]["sig_loss"]
+        metrics["mus_reg"] = out[0]["mus_reg"]
+        metrics["sig_reg"] = out[0]["sig_reg"]
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(cfg: Config, pipeline: NerfPipeline):
+    """Returns ``train_step(state, batch) -> (state, metrics)`` ready for
+    ``jax.jit`` (donate state for in-place HBM updates)."""
+    tx = make_optimizer(cfg)
+    near = cfg.dataset.near
+    far = cfg.dataset.far
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        step = state.step
+        sched = schedule_values(cfg, step)
+        rng = jax.random.fold_in(state.rng, step)
+        rays = RayBatch.create(
+            batch["origins"], batch["directions"], batch["radii"], near, far
+        )
+        target = batch["rgb"]
+
+        def loss_fn(params):
+            return compute_loss(
+                cfg, pipeline, params, rays, target, rng, sched, "train"
+            )
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["lr"] = schedules.make_lr_schedule(cfg)(step)
+        new_state = state.replace(
+            step=step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_train_step_from_store(cfg: Config, pipeline: NerfPipeline):
+    """Train step that samples its ray batch from a device-resident store
+    ([n_img, n_pix, 10]) inside the jitted program — zero per-step host
+    traffic (TPU-native replacement for dataset.py:50-59)."""
+    inner = make_train_step(cfg, pipeline)
+    num_rays = cfg.nerf.train.num_random_rays
+    single = cfg.dataset.single_image_mode
+
+    def train_step(state: TrainState, store: jax.Array):
+        r_sample = jax.random.fold_in(
+            jax.random.fold_in(state.rng, state.step), 0x5A17
+        )
+        ro, rd, radii, rgb = sample_rays_on_device(store, r_sample, num_rays, single)
+        batch = {"origins": ro, "directions": rd, "radii": radii, "rgb": rgb}
+        return inner(state, batch)
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, pipeline: NerfPipeline):
+    """Returns ``eval_step(params, batch, rng, sched) -> outputs`` for a flat
+    ray batch in validation mode (no grads).  Rendering full images tiles
+    over this via :mod:`ddnerf_tpu.render`."""
+    near = cfg.dataset.near
+    far = cfg.dataset.far
+
+    def eval_step(params, batch, rng, sched: ScheduleValues):
+        rays = RayBatch.create(
+            batch["origins"], batch["directions"], batch["radii"], near, far
+        )
+        return pipeline.render_rays(params, rays, rng, sched, "validation")
+
+    return eval_step
