@@ -1,0 +1,105 @@
+"""Benchmark: training throughput of the flagship DDNeRF model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/sec", "vs_baseline": N}
+
+Workload matches the reference's default blender config (SURVEY.md §6):
+2048 rays/step x (32 coarse + 32 fine + 1) samples, 256-wide MLPs, DDNeRF
+truncated-Gaussian resampling + dp loss, full backward + Adam — i.e. the same
+work as the reference train_model.py hot loop, but as one jitted XLA program
+with bf16 matmuls and device-resident ray sampling.
+
+``vs_baseline`` compares against BASELINE_MEASURED.json (the torch reference
+measured on this container by benchmarks/measure_reference.py — the reference
+repo publishes no numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ddnerf_tpu.config import Config
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.models.nerf import NerfPipeline
+    from ddnerf_tpu.train.state import create_train_state
+    from ddnerf_tpu.train.step import make_train_step_from_store
+
+    cfg = Config.from_dict(
+        {
+            "experiment": {"train_iters": 200001},
+            "nerf": {
+                "type": "DDNerfModel",
+                "coarse_hidden_size": 256,
+                "fine_hidden_size": 256,
+                "train": {
+                    "num_coarse": 32,
+                    "num_fine": 32,
+                    "num_random_rays": 2048,
+                    "radiance_field_noise_std": 1.0,
+                },
+                "validation": {"num_coarse": 32, "num_fine": 32, "perturb": False},
+            },
+            "dataset": {
+                "type": "blender",
+                "synthetic": True,
+                "near": 2.0,
+                "far": 6.0,
+                "single_image_mode": True,
+            },
+            "parallel": {"compute_dtype": "bfloat16"},
+        }
+    ).resolved()
+
+    train_ds, _, cfg = get_datasets(cfg)
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    store = jnp.asarray(train_ds.device_store())
+    step_fn = jax.jit(make_train_step_from_store(cfg, pipe), donate_argnums=0)
+
+    # Warmup / compile.
+    state, metrics = step_fn(state, store)
+    jax.block_until_ready(metrics["loss"])
+
+    # Timed steady-state: chain enough steps to amortize dispatch.
+    n_iters = int(os.environ.get("BENCH_ITERS", "50"))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step_fn(state, store)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_iters * cfg.nerf.train.num_random_rays / dt
+
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        if baseline.get("rays_per_sec"):
+            vs_baseline = rays_per_sec / baseline["rays_per_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "DDNeRF train rays/sec/chip (2048 rays x 32+32+1 samples, "
+                "fwd+dp_loss+bwd+adam)",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/sec",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

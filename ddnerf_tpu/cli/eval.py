@@ -1,0 +1,29 @@
+"""CLI: evaluation.  Mirrors ``python eval_nerf.py --logdir ...
+[--save_images --extract_ptc]`` (reference eval_nerf.py:168-181)."""
+
+import argparse
+
+from ddnerf_tpu.eval.evaluate import eval_model
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--logdir", type=str, required=True,
+                        help="Experiment logdir (contains config.yml + checkpoint).")
+    parser.add_argument("--save_images", action="store_true")
+    parser.add_argument("--extract_ptc", action="store_true",
+                        help="Extract a point cloud per validation image.")
+    parser.add_argument("--lpips-weights", type=str, default=None,
+                        help="Path to local AlexNet-LPIPS weights (.npz).")
+    args = parser.parse_args()
+
+    eval_model(
+        args.logdir,
+        extract_ptc=args.extract_ptc,
+        save_images=args.save_images,
+        lpips_weights=args.lpips_weights,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,21 @@
+"""CLI: video rendering.  Mirrors ``python render_video.py --logdir ...
+[--save_images]`` (reference render_video.py:109-122)."""
+
+import argparse
+
+from ddnerf_tpu.render.video import render_model_video
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--logdir", type=str, required=True)
+    parser.add_argument("--save_images", action="store_true")
+    parser.add_argument("--max-frames", type=int, default=0)
+    args = parser.parse_args()
+
+    render_model_video(args.logdir, save_images=args.save_images,
+                       max_frames=args.max_frames)
+
+
+if __name__ == "__main__":
+    main()

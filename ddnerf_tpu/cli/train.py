@@ -1,0 +1,27 @@
+"""CLI: training.  Mirrors ``python train_model.py --config X.yml
+[--load-checkpoint path]`` (reference train_model.py:21-32)."""
+
+import argparse
+
+from ddnerf_tpu.config import load_config
+from ddnerf_tpu.train.loop import train
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True,
+                        help="Path to (.yml) config file.")
+    parser.add_argument("--load-checkpoint", type=str, default="",
+                        help="Path to a logdir to resume from.")
+    parser.add_argument("--max-iters", type=int, default=0,
+                        help="Override experiment.train_iters (0 = use config).")
+    args = parser.parse_args()
+
+    cfg = load_config(args.config)
+    train(cfg, load_checkpoint=args.load_checkpoint,
+          max_iters=args.max_iters or None)
+    print("Done!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Whole-image / video rendering: tiled over a fixed-size jitted eval step.
+
+Replaces the reference's serial chunk loop + concat inside the model
+(``/root/reference/models/models.py:53-72``) and the per-pose loop of
+``render_video.py:73-104``.  The eval step is compiled ONCE for a fixed chunk
+shape (the last chunk is padded), so rendering any number of pixels reuses a
+single XLA program; with a mesh, each chunk's ray axis is sharded across
+devices (render-tile parallelism, BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ddnerf_tpu.config import Config
+from ddnerf_tpu.models.nerf import NerfPipeline, ScheduleValues
+from ddnerf_tpu.train.step import make_eval_step
+
+
+DEFAULT_KEYS = ("rgb", "disp", "acc", "depth", "corrected_disp_map")
+
+
+class ImageRenderer:
+    def __init__(self, cfg: Config, pipeline: NerfPipeline, mesh=None,
+                 extract_keys=DEFAULT_KEYS):
+        self.cfg = cfg
+        self.pipeline = pipeline
+        self.chunk = cfg.nerf.validation.chunksize
+        self.mesh = mesh
+        self.extract_keys = extract_keys
+        if mesh is not None:
+            from ddnerf_tpu.parallel.mesh import make_sharded_eval_step
+
+            self._step = make_sharded_eval_step(cfg, pipeline, mesh)
+            self._shard = self._make_sharder(mesh)
+        else:
+            self._step = jax.jit(make_eval_step(cfg, pipeline))
+            self._shard = lambda b: b
+
+    def _make_sharder(self, mesh):
+        from ddnerf_tpu.parallel.mesh import shard_batch
+
+        return lambda b: shard_batch(mesh, b)
+
+    # ------------------------------------------------------------ flat rays
+
+    def render_flat(
+        self,
+        params,
+        origins,
+        directions,
+        radii,
+        rng=None,
+        sched: Optional[ScheduleValues] = None,
+    ) -> Dict[int, Dict[str, np.ndarray]]:
+        """Render N rays -> per-cycle dicts of host numpy arrays."""
+        if sched is None:
+            sched = ScheduleValues.for_eval(self.cfg)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        origins = np.asarray(origins, np.float32).reshape(-1, 3)
+        directions = np.asarray(directions, np.float32).reshape(-1, 3)
+        radii = np.asarray(radii, np.float32).reshape(-1, 1)
+        n = origins.shape[0]
+        chunk = min(self.chunk, n) if n else self.chunk
+
+        outs: Dict[int, Dict[str, list]] = {0: {}, 1: {}}
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            pad = chunk - (end - start)
+            sl = slice(start, end)
+
+            def prep(x):
+                x = x[sl]
+                if pad:
+                    x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+                return jnp.asarray(x)
+
+            batch = self._shard(
+                {
+                    "origins": prep(origins),
+                    "directions": prep(directions),
+                    "radii": prep(radii),
+                }
+            )
+            rng, sub = jax.random.split(rng)
+            out = self._step(params, batch, sub, sched)
+            for i in (0, 1):
+                for key in self.extract_keys:
+                    if key not in out[i] or out[i][key] is None:
+                        continue
+                    arr = np.asarray(out[i][key])
+                    if arr.ndim and pad:
+                        arr = arr[: end - start]
+                    outs[i].setdefault(key, []).append(arr)
+
+        # Scalars (e.g. dp_loss) are averaged over chunks — mirroring the
+        # reference's concat-then-mean of per-chunk values (models.py:57-61,
+        # train_model.py:218).
+        return {
+            i: {
+                k: (np.mean(v) if v[0].ndim == 0 else np.concatenate(v, axis=0))
+                for k, v in outs[i].items()
+            }
+            for i in outs
+        }
+
+    # ------------------------------------------------------------- image
+
+    def render_image(
+        self, params, origins, directions, radii, rng=None, sched=None
+    ) -> Dict[int, Dict[str, np.ndarray]]:
+        """Render an [H, W] bundle, reshaping maps back to image layout
+        (the reference's restore_shapes reshape, models.py:63-72)."""
+        h, w = origins.shape[:2]
+        flat = self.render_flat(params, origins, directions, radii, rng, sched)
+        for i in flat:
+            for key, arr in flat[i].items():
+                if np.ndim(arr) == 2:  # rgb / per-sample arrays
+                    flat[i][key] = arr.reshape(h, w, -1)
+                elif np.ndim(arr) == 1:
+                    flat[i][key] = arr.reshape(h, w)
+        return flat
+
+
+def render_video_frames(
+    cfg: Config,
+    pipeline: NerfPipeline,
+    params,
+    val_dataset,
+    mesh=None,
+    progress=True,
+):
+    """Iterate the dataset's render-pose path, yielding per-frame dicts
+    (mirrors render_video.py:73-104's pose loop)."""
+    renderer = ImageRenderer(cfg, pipeline, mesh)
+    sched = ScheduleValues.for_eval(cfg)
+    n = len(val_dataset.render_poses)
+    for idx in range(n):
+        ro, rd, radii = val_dataset.get_next_render_pose()
+        out = renderer.render_image(params, ro, rd, radii, sched=sched)
+        yield idx, out

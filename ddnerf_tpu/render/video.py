@@ -1,0 +1,75 @@
+"""Video rendering driver.
+
+Rewrite of ``/root/reference/render_video.py:17-106``: loads config +
+checkpoint from a logdir, renders the dataset's spiral/spherical render-pose
+path, and writes a side-by-side rgb|disparity video at 24fps (+ optional
+per-frame PNGs).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from ddnerf_tpu.data.assembly import get_datasets
+from ddnerf_tpu.models.nerf import NerfPipeline, ScheduleValues
+from ddnerf_tpu.render.renderer import ImageRenderer
+from ddnerf_tpu.train import checkpoint as ckpt
+from ddnerf_tpu.train.state import create_train_state
+from ddnerf_tpu.viz.visualization import cast_to_disparity_image, cast_to_image
+
+
+def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
+                       max_frames: int = 0):
+    savedir = os.path.join(basedir, "video")
+    os.makedirs(savedir, exist_ok=True)
+
+    cfg = ckpt.load_config_snapshot(basedir)
+    _, val_ds, cfg = get_datasets(cfg)
+
+    pipeline = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipeline, jax.random.PRNGKey(0))
+    state = ckpt.CheckpointManager(basedir).restore(state)
+    sched = ScheduleValues.for_eval(cfg)
+
+    renderer = ImageRenderer(cfg, pipeline)
+    h, w = val_ds.H, val_ds.W
+
+    import cv2
+
+    writer = cv2.VideoWriter(
+        os.path.join(savedir, "video.avi"),
+        cv2.VideoWriter_fourcc(*"DIVX"),
+        fps,
+        (2 * w, h),
+    )
+
+    n = len(val_ds.render_poses)
+    if max_frames:
+        n = min(n, max_frames)
+    times = []
+    for idx in range(n):
+        ro, rd, radii = val_ds.get_next_render_pose()
+        t0 = time.time()
+        out = renderer.render_image(state.params, ro, rd, radii, sched=sched)
+        times.append(time.time() - t0)
+
+        rgb = cast_to_image(out[1]["rgb"]).transpose(1, 2, 0)  # H,W,3 uint8
+        disp = cast_to_disparity_image(out[1]["disp"]).squeeze()  # H,W uint8
+        disp3 = np.stack([disp] * 3, axis=-1)
+        frame = np.concatenate([rgb, disp3], axis=1)  # H, 2W, 3
+        writer.write(frame[..., ::-1])  # cv2 expects BGR
+
+        if save_images:
+            import imageio.v2 as imageio
+
+            imageio.imwrite(os.path.join(savedir, f"frame_{idx:04d}.png"), frame)
+        print(f"frame {idx}/{n} ({times[-1]:.2f}s)")
+
+    writer.release()
+    print(f"avg render time per frame: {np.mean(times):.2f}s")
+    print(f"video written to {os.path.join(savedir, 'video.avi')}")
