@@ -1,0 +1,174 @@
+"""LLFF/COLMAP data-path tests: a synthetic COLMAP binary model is written
+from scratch, then driven through gen_poses -> poses_bounds.npy ->
+load_llff_data -> ray datasets, including NDC."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from ddnerf_tpu.config import Config
+from ddnerf_tpu.data import colmap
+from ddnerf_tpu.data.llff import load_llff_data
+from ddnerf_tpu.data.poses import gen_poses
+
+
+def _rotmat2qvec(R):
+    """Inverse of colmap.qvec2rotmat (for fixture writing) — Shepperd's
+    method, robust for w ~ 0."""
+    K = np.array([
+        [R[0, 0] - R[1, 1] - R[2, 2], 0, 0, 0],
+        [R[0, 1] + R[1, 0], R[1, 1] - R[0, 0] - R[2, 2], 0, 0],
+        [R[0, 2] + R[2, 0], R[1, 2] + R[2, 1], R[2, 2] - R[0, 0] - R[1, 1], 0],
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1],
+         R[0, 0] + R[1, 1] + R[2, 2]],
+    ]) / 3.0
+    vals, vecs = np.linalg.eigh(K)
+    q = vecs[[3, 0, 1, 2], np.argmax(vals)]
+    return q * np.sign(q[0]) if q[0] != 0 else q
+
+
+def write_colmap_model(sparse_dir, w2c_list, points, width=64, height=48,
+                       focal=60.0):
+    os.makedirs(sparse_dir, exist_ok=True)
+
+    with open(os.path.join(sparse_dir, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 0, width, height))  # SIMPLE_PINHOLE
+        f.write(struct.pack("<3d", focal, width / 2, height / 2))
+
+    with open(os.path.join(sparse_dir, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", len(w2c_list)))
+        for i, (R, t) in enumerate(w2c_list):
+            q = _rotmat2qvec(R)
+            f.write(struct.pack("<idddddddi", i + 1, *q, *t, 1))
+            f.write(f"img_{i:03d}.png".encode() + b"\x00")
+            # Every image observes every point (dense visibility).
+            f.write(struct.pack("<Q", len(points)))
+            for j in range(len(points)):
+                f.write(struct.pack("<ddq", 1.0, 1.0, j + 1))
+
+    with open(os.path.join(sparse_dir, "points3D.bin"), "wb") as f:
+        f.write(struct.pack("<Q", len(points)))
+        for j, xyz in enumerate(points):
+            f.write(struct.pack("<QdddBBBd", j + 1, *xyz, 128, 128, 128, 0.5))
+            f.write(struct.pack("<Q", len(w2c_list)))
+            for i in range(len(w2c_list)):
+                f.write(struct.pack("<ii", i + 1, j))
+
+
+@pytest.fixture(scope="module")
+def llff_dir(tmp_path_factory):
+    """A forward-facing scene: cameras at z~0 looking down -z at points
+    around z=-4."""
+    import imageio.v2 as imageio
+
+    base = str(tmp_path_factory.mktemp("llff_scene"))
+    rng = np.random.default_rng(0)
+
+    n_cams = 8
+    w2c_list = []
+    target = np.array([0.0, 0.0, 4.5])
+    for i in range(n_cams):
+        # Cameras on a small arc, each looking toward the point cloud center
+        # (varied orientations keep spherify's least-squares well-posed).
+        ang = 0.15 * (i - n_cams / 2)
+        pos = np.array([2.0 * np.sin(ang), 0.1 * rng.standard_normal(),
+                        -0.5 * np.cos(ang)])
+        fwd = target - pos
+        fwd = fwd / np.linalg.norm(fwd)  # colmap z (forward)
+        right = np.cross(np.array([0.0, -1.0, 0.0]), fwd)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        R = np.stack([right, down, fwd], axis=0)  # world -> cam rows
+        t = -R @ pos
+        w2c_list.append((R, t))
+
+    points = rng.uniform(-1, 1, (50, 3))
+    points[:, 2] = rng.uniform(3.0, 6.0, 50)  # in front of the cameras
+
+    write_colmap_model(os.path.join(base, "sparse/0"), w2c_list, points)
+
+    imgdir = os.path.join(base, "images")
+    os.makedirs(imgdir)
+    for i in range(n_cams):
+        img = (rng.uniform(0, 1, (48, 64, 3)) * 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(imgdir, f"img_{i:03d}.png"), img)
+    return base
+
+
+def test_colmap_reader_roundtrip(llff_dir):
+    cams, images, pts = colmap.read_model(os.path.join(llff_dir, "sparse/0"))
+    assert len(cams) == 1
+    cam = next(iter(cams.values()))
+    assert (cam.width, cam.height) == (64, 48)
+    assert cam.params[0] == 60.0
+    assert len(images) == 8
+    im = images[1]
+    assert im.name == "img_000.png"
+    assert im.point3d_ids.shape == (50,)
+    assert im.point3d_ids[0] == 1
+    assert len(pts) == 50
+    assert pts[1].image_ids.shape == (8,)
+
+
+def test_gen_poses_writes_bounds(llff_dir):
+    gen_poses(llff_dir)
+    arr = np.load(os.path.join(llff_dir, "poses_bounds.npy"))
+    assert arr.shape == (8, 17)
+    near, far = arr[:, 15], arr[:, 16]
+    # Points sit between z=3 and z=6 in front of the cameras.
+    assert (near > 2.0).all() and (far < 7.0).all()
+    assert (near < far).all()
+
+
+def test_load_llff_data_forward_facing(llff_dir):
+    cfg = Config.from_dict(
+        {"dataset": {"type": "llff", "basedir": llff_dir,
+                     "downsample_factor": 2, "bd_factor": 0.75}}
+    )
+    images, poses, bds, render_poses, i_test = load_llff_data(cfg)
+    assert images.shape == (8, 24, 32, 3)
+    assert poses.shape == (8, 3, 5)
+    assert render_poses.shape[1:] == (3, 5)
+    assert 0 <= i_test < 8
+    # bd rescale: min bound becomes 1/bd_factor.
+    np.testing.assert_allclose(bds.min(), 1.0 / 0.75, rtol=1e-5)
+    # factor-2 cache created
+    assert os.path.isdir(os.path.join(llff_dir, "images_2"))
+
+
+def test_load_llff_spherify(llff_dir):
+    cfg = Config.from_dict(
+        {"dataset": {"type": "llff", "basedir": llff_dir,
+                     "downsample_factor": 2, "bd_factor": 0.75,
+                     "spherify": True}}
+    )
+    images, poses, bds, render_poses, i_test = load_llff_data(cfg)
+    assert render_poses.shape == (120, 3, 5)
+    # Spherified poses are normalized to ~unit radius.
+    radii = np.linalg.norm(poses[:, :3, 3], axis=-1)
+    assert radii.mean() < 3.0
+
+
+def test_full_dataset_assembly_llff_ndc(llff_dir):
+    from ddnerf_tpu.data.assembly import get_datasets
+
+    cfg = Config.from_dict(
+        {
+            "dataset": {"type": "llff", "basedir": llff_dir,
+                        "downsample_factor": 2, "bd_factor": 0.75,
+                        "ndc_rays": True, "llffhold": 4,
+                        "single_image_mode": False, "near": 0.0, "far": 1.0},
+            "nerf": {"train": {"num_random_rays": 32}},
+        }
+    )
+    train_ds, val_ds, cfg = get_datasets(cfg)
+    rng = np.random.default_rng(0)
+    ro, rd, radii, rgb = train_ds.sample_batch(rng, 32)
+    assert ro.shape == (32, 3) and radii.shape == (32, 1)
+    # NDC origins lie in the canonical cube-ish range.
+    assert np.abs(ro[:, 2]).max() <= 1.0 + 1e-5
+    ro_v, rd_v, radii_v, gt = val_ds.get_next_validation_rays()
+    assert gt.shape == (24, 32, 3)
