@@ -1,0 +1,251 @@
+"""Pallas TPU kernel: fused NeRF MLP evaluation.
+
+The MLP trunk (8×Dense(256) + heads, models/mlp.py) is where all the FLOPs
+are: per 2048-ray batch, [131072, 256] activations flow through 10 matmuls.
+Under plain XLA each matmul's output round-trips HBM (~134 MB per layer in
+f32).  This kernel evaluates the ENTIRE network for a row-block per grid step
+with every intermediate held in VMEM — HBM traffic drops to inputs + weights
++ outputs, and the MXU stays fed back-to-back.
+
+Design notes (pallas_guide.md):
+
+* row-block grid: each program processes ``block_rows`` rows; weights are
+  small (~1.4 MB bf16 total) so every program keeps the full weight set in
+  VMEM via non-blocked specs;
+* the skip concat at trunk layer 5 (reference base_architectures.py:27-29)
+  is algebraically split into two matmuls, ``relu(x@W5x + ipe@W5i + b5)`` —
+  a concat inside the kernel would force an awkward [*, 384] layout.  The
+  dir-branch concat (``[feat, dirs] @ Wd``) is split the same way;
+* head weights (rgb 3, alpha 1, mu_sigma 2) are packed into lane-128 padded
+  matrices — TPU tiles require the last dim to be a multiple of 128, so the
+  kernel emits a [block, 128] output tile whose first ``out_dim`` lanes are
+  valid;
+* all dots run in the compute dtype (bf16 by default) with f32 accumulation
+  (``preferred_element_type``);
+* backward: :func:`fused_mlp_apply` carries a ``jax.custom_vjp`` whose
+  backward recomputes activations via the pure-jnp twin network — the fused
+  forward is exact and gradients match the reference formulation
+  (pallas_guide.md "Patterns: Custom VJP").
+
+Feature dims are zero-padded to lane multiples (96→128 IPE, 27→128 dirs);
+zero columns contribute nothing to the dots.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NUM_TRUNK = 8
+SKIP_LAYER = 5
+LANE = 128
+
+
+def _mm(a, w):
+    return jax.lax.dot_general(
+        a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _kernel(
+    ipe_ref,
+    dirs_ref,
+    *refs,
+):
+    """One row-block through the full network.
+
+    refs = [w0..w7, w5i, b_trunk, wf, bf_wa_packed..., ...] — see the packing
+    order in :func:`_pack_params`; out_ref is last.
+    """
+    out_ref = refs[-1]
+    (w_trunk0, *w_trunk_rest) = refs[0:NUM_TRUNK]
+    w5i = refs[NUM_TRUNK]
+    b_trunk = refs[NUM_TRUNK + 1]  # [NUM_TRUNK, hidden] f32
+    wf, bf = refs[NUM_TRUNK + 2], refs[NUM_TRUNK + 3]
+    wa = refs[NUM_TRUNK + 4]  # [hidden, LANE], col 0 = alpha (+bias folded)
+    wd_feat, wd_dirs, bd = refs[NUM_TRUNK + 5 : NUM_TRUNK + 8]
+    w_heads = refs[NUM_TRUNK + 8]  # [dir_hidden, LANE]: rgb | mu_sigma packed
+    b_heads = refs[NUM_TRUNK + 9]  # [1, LANE]
+    b_alpha = refs[NUM_TRUNK + 10]  # [1, LANE], col 0 valid
+
+    ipe = ipe_ref[:]
+    dtype = ipe.dtype
+
+    x = ipe
+    trunk = [w_trunk0, *w_trunk_rest]
+    for i in range(NUM_TRUNK):
+        acc = _mm(x, trunk[i][:])
+        if i == SKIP_LAYER:
+            acc = acc + _mm(ipe, w5i[:])
+        x = jnp.maximum(acc + b_trunk[i, :][None, :], 0.0).astype(dtype)
+
+    feat_f32 = _mm(x, wf[:]) + bf[:]
+    feat = feat_f32.astype(dtype)
+
+    alpha = _mm(feat, wa[:]) + b_alpha[:]  # [block, LANE], col 0 valid
+
+    h = _mm(feat, wd_feat[:]) + _mm(dirs_ref[:], wd_dirs[:]) + bd[:]
+    h = jnp.maximum(h, 0.0).astype(dtype)
+
+    heads = _mm(h, w_heads[:]) + b_heads[:]  # [block, LANE]: rgb(3), mu(2)
+
+    # Assemble output lanes: [rgb(3), alpha(1), mu_sigma(2), pad...].
+    out = jnp.concatenate(
+        [heads[:, 0:3], alpha[:, 0:1], heads[:, 3 : LANE - 1]], axis=-1
+    )
+    out_ref[:] = out
+
+
+def _pack_params(params, depth_head, compute_dtype):
+    """Flax param tree -> the kernel's flat weight list (padded/packed)."""
+    c = compute_dtype
+    hidden = params["fc_feat"]["kernel"].shape[1]
+
+    ws, bs = [], []
+    w5i = None
+    for i in range(NUM_TRUNK):
+        k = params[f"trunk_{i}"]["kernel"]
+        bs.append(params[f"trunk_{i}"]["bias"])
+        if i == SKIP_LAYER:
+            w5i, k = k[:96], k[96:]
+        if i == 0:
+            k = jnp.pad(k, ((0, LANE - k.shape[0]), (0, 0)))
+        ws.append(k.astype(c))
+    w5i = jnp.pad(w5i, ((0, LANE - 96), (0, 0))).astype(c)
+    b_trunk = jnp.stack(bs).astype(jnp.float32)  # [NUM_TRUNK, hidden]
+
+    wf = params["fc_feat"]["kernel"].astype(c)
+    bf = params["fc_feat"]["bias"].astype(jnp.float32).reshape(1, -1)
+
+    wa = jnp.pad(params["fc_alpha"]["kernel"], ((0, 0), (0, LANE - 1))).astype(c)
+    b_alpha = jnp.pad(params["fc_alpha"]["bias"], (0, LANE - 1)).astype(
+        jnp.float32
+    ).reshape(1, -1)
+
+    wd = params["dir_0"]["kernel"]
+    dir_in = wd.shape[0] - hidden  # 27
+    wd_feat = wd[:hidden].astype(c)
+    wd_dirs = jnp.pad(wd[hidden:], ((0, LANE - dir_in), (0, 0))).astype(c)
+    bd = params["dir_0"]["bias"].astype(jnp.float32).reshape(1, -1)
+
+    heads_w = [params["fc_rgb"]["kernel"]]
+    heads_b = [params["fc_rgb"]["bias"]]
+    if depth_head:
+        heads_w.append(params["fc_mu_sigma"]["kernel"])
+        heads_b.append(params["fc_mu_sigma"]["bias"])
+    w_heads = jnp.concatenate(heads_w, axis=1)
+    b_heads = jnp.concatenate(heads_b)
+    w_heads = jnp.pad(w_heads, ((0, 0), (0, LANE - w_heads.shape[1]))).astype(c)
+    b_heads = jnp.pad(b_heads, (0, LANE - b_heads.shape[0])).astype(
+        jnp.float32
+    ).reshape(1, -1)
+
+    return [*ws, w5i, b_trunk, wf, bf, wa, wd_feat, wd_dirs, bd,
+            w_heads, b_heads, b_alpha]
+
+
+def _pad_to(x, rows=None, cols=None):
+    pr = 0 if rows is None else rows - x.shape[0]
+    pc = 0 if cols is None else cols - x.shape[1]
+    return jnp.pad(x, ((0, pr), (0, pc))) if (pr or pc) else x
+
+
+def fused_mlp_forward(
+    params: dict,
+    ipe: jax.Array,
+    dirs: jax.Array,
+    *,
+    depth_head: bool,
+    block_rows: int = 1024,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Evaluate MipMLP/DepthMipMLP on [N, 96] IPE + [N, 27] dir features.
+
+    Returns [N, 4 or 6] float32: (rgb, alpha[, mu, sigma]) — same layout as
+    the flax modules.
+    """
+    n = ipe.shape[0]
+    out_dim = 6 if depth_head else 4
+    n_pad = -(-max(n, 1) // block_rows) * block_rows
+
+    ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad, cols=LANE)
+    dirs_p = _pad_to(dirs.astype(compute_dtype), rows=n_pad, cols=LANE)
+    packed = _pack_params(params, depth_head, compute_dtype)
+
+    grid = (n_pad // block_rows,)
+    in_specs = [
+        pl.BlockSpec((block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in packed]
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
+        interpret=interpret,
+    )(ipe_p, dirs_p, *packed)
+    return out[:n, :out_dim]
+
+
+# ---------------------------------------------------------------- custom vjp
+
+
+def _reference_apply(params, ipe, dirs, depth_head):
+    """Pure-jnp twin of the kernel (mirrors models/mlp.py exactly); used for
+    the recompute-backward and as the numerical oracle in tests."""
+    x = ipe
+    for i in range(NUM_TRUNK):
+        if i == SKIP_LAYER:
+            x = jnp.concatenate([ipe, x], axis=-1)
+        x = x @ params[f"trunk_{i}"]["kernel"] + params[f"trunk_{i}"]["bias"]
+        x = jnp.maximum(x, 0.0)
+    feat = x @ params["fc_feat"]["kernel"] + params["fc_feat"]["bias"]
+    alpha = feat @ params["fc_alpha"]["kernel"] + params["fc_alpha"]["bias"]
+    h = (
+        jnp.concatenate([feat, dirs], axis=-1) @ params["dir_0"]["kernel"]
+        + params["dir_0"]["bias"]
+    )
+    h = jnp.maximum(h, 0.0)
+    rgb = h @ params["fc_rgb"]["kernel"] + params["fc_rgb"]["bias"]
+    outs = [rgb, alpha]
+    if depth_head:
+        outs.append(
+            h @ params["fc_mu_sigma"]["kernel"] + params["fc_mu_sigma"]["bias"]
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_mlp_apply(params, ipe, dirs, depth_head: bool, interpret: bool = False):
+    """Fused forward + jnp-recompute backward.  Drop-in replacement for the
+    flax apply on flattened [N, F] inputs."""
+    return fused_mlp_forward(
+        params, ipe, dirs, depth_head=depth_head, interpret=interpret
+    )
+
+
+def _fwd(params, ipe, dirs, depth_head, interpret):
+    out = fused_mlp_forward(
+        params, ipe, dirs, depth_head=depth_head, interpret=interpret
+    )
+    return out, (params, ipe, dirs)
+
+
+def _bwd(depth_head, interpret, res, g):
+    params, ipe, dirs = res
+    _, vjp = jax.vjp(
+        lambda p, a, b: _reference_apply(p, a, b, depth_head), params, ipe, dirs
+    )
+    return vjp(g)
+
+
+fused_mlp_apply.defvjp(_fwd, _bwd)

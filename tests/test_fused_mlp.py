@@ -1,0 +1,89 @@
+"""Fused-MLP Pallas kernel: numerical parity against the flax modules
+(interpret mode on CPU) and gradient correctness of the custom VJP."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddnerf_tpu.kernels.fused_mlp import (
+    _reference_apply,
+    fused_mlp_apply,
+    fused_mlp_forward,
+)
+from ddnerf_tpu.models.mlp import DepthMipMLP, MipMLP
+
+
+def _setup(depth_head, n=40, hidden=256, seed=0):
+    rng = np.random.default_rng(seed)
+    ipe = jnp.asarray(rng.standard_normal((n, 96)).astype(np.float32))
+    dirs = jnp.asarray(rng.standard_normal((n, 27)).astype(np.float32))
+    module = (DepthMipMLP if depth_head else MipMLP)(hidden_size=hidden)
+    params = module.init(jax.random.PRNGKey(seed), ipe, dirs)["params"]
+    return module, params, ipe, dirs
+
+
+@pytest.mark.parametrize("depth_head", [False, True])
+def test_kernel_matches_flax(depth_head):
+    module, params, ipe, dirs = _setup(depth_head)
+    expect = module.apply({"params": params}, ipe, dirs)
+    got = fused_mlp_forward(
+        params, ipe, dirs, depth_head=depth_head, block_rows=32,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_bf16_close_to_f32():
+    module, params, ipe, dirs = _setup(True, n=16)
+    expect = module.apply({"params": params}, ipe, dirs)
+    got = fused_mlp_forward(
+        params, ipe, dirs, depth_head=True, block_rows=16,
+        compute_dtype=jnp.bfloat16, interpret=True,
+    )
+    # bf16 matmuls with f32 accumulation: ~1e-2 relative agreement.
+    np.testing.assert_allclose(got, expect, rtol=0.05, atol=0.05)
+
+
+def test_reference_twin_matches_flax():
+    """The jnp twin used for the backward recompute must equal the flax
+    module bit-for-bit (same formulation)."""
+    module, params, ipe, dirs = _setup(True)
+    expect = module.apply({"params": params}, ipe, dirs)
+    got = _reference_apply(params, ipe, dirs, True)
+    np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-6)
+
+
+def test_custom_vjp_gradients():
+    _, params, ipe, dirs = _setup(True, n=24)
+
+    def loss_fused(p):
+        out = fused_mlp_apply(p, ipe, dirs, True, True)
+        return jnp.sum(out**2)
+
+    def loss_ref(p):
+        out = _reference_apply(p, ipe, dirs, True)
+        return jnp.sum(out**2)
+
+    g_fused = jax.grad(loss_fused)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4),
+        g_fused, g_ref,
+    )
+
+
+def test_row_padding_irrelevant():
+    """Rows beyond N (block padding) must not leak into outputs."""
+    _, params, ipe, dirs = _setup(False, n=10)
+    out_a = fused_mlp_forward(
+        params, ipe, dirs, depth_head=False, block_rows=8,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    out_b = fused_mlp_forward(
+        params, ipe, dirs, depth_head=False, block_rows=64,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(out_a, out_b, rtol=1e-5, atol=1e-6)
