@@ -70,7 +70,7 @@ def test_custom_vjp_gradients():
     g_fused = jax.grad(loss_fused)(params)
     g_ref = jax.grad(loss_ref)(params)
     jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4),
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-2),
         g_fused, g_ref,
     )
 
