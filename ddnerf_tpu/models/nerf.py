@@ -112,6 +112,8 @@ class NerfPipeline:
             "segmented"
         )
         self._filter_empty = ds.type.lower() == "blender"
+        # The Pallas kernel runs in interpreter mode on CPU (tests/CI).
+        self._pallas_interpret = jax.default_backend() == "cpu"
 
     # ------------------------------------------------------------------ init
 
@@ -136,6 +138,19 @@ class NerfPipeline:
         dirs_b = jnp.broadcast_to(
             dirs_enc[..., None, :], ipe.shape[:-1] + (dirs_enc.shape[-1],)
         )
+        if self.cfg.parallel.use_pallas_mlp:
+            from ddnerf_tpu.kernels.fused_mlp import fused_mlp_apply
+
+            depth_head = isinstance(module, DepthMipMLP)
+            out_dim = 6 if depth_head else 4
+            flat = fused_mlp_apply(
+                params,
+                ipe.reshape(-1, ipe.shape[-1]),
+                dirs_b.reshape(-1, dirs_b.shape[-1]),
+                depth_head,
+                self._pallas_interpret,
+            )
+            return flat.reshape(ipe.shape[:-1] + (out_dim,))
         return module.apply({"params": params}, ipe, dirs_b)
 
     # ---------------------------------------------------------------- render
