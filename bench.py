@@ -65,16 +65,19 @@ def main():
     store = jnp.asarray(train_ds.device_store())
     step_fn = jax.jit(make_train_step_from_store(cfg, pipe), donate_argnums=0)
 
-    # Warmup / compile.
+    # Warmup / compile.  Device sync is a VALUE FETCH, not block_until_ready:
+    # on relayed/experimental backends the latter can return before the
+    # computation actually finishes, inflating throughput numbers.
     state, metrics = step_fn(state, store)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
-    # Timed steady-state: chain enough steps to amortize dispatch.
+    # Timed steady-state: chain enough steps to amortize dispatch; the final
+    # loss fetch forces the whole dependency chain.
     n_iters = int(os.environ.get("BENCH_ITERS", "50"))
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, metrics = step_fn(state, store)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_iters * cfg.nerf.train.num_random_rays / dt

@@ -1,0 +1,158 @@
+"""Metrics (SSIM/PSNR), LR-schedule parity, and config-system tests."""
+
+import numpy as np
+import pytest
+
+from ddnerf_tpu.config import Config
+from ddnerf_tpu.core import schedules
+from ddnerf_tpu.eval import metrics as M
+
+from conftest import REFERENCE_PATH, reference_available
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="torch reference not available"
+)
+
+
+# ------------------------------------------------------------------ SSIM
+
+
+def test_ssim_identity_is_one():
+    img = np.random.default_rng(0).uniform(0, 1, (32, 32))
+    assert M.ssim(img, img, data_range=1.0) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ssim_decreases_with_noise():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (48, 48))
+    light = np.clip(img + rng.normal(0, 0.05, img.shape), 0, 1)
+    heavy = np.clip(img + rng.normal(0, 0.3, img.shape), 0, 1)
+    s_light = M.ssim(img, light, data_range=1.0)
+    s_heavy = M.ssim(img, heavy, data_range=1.0)
+    assert 1.0 > s_light > s_heavy > 0.0
+
+
+def test_ssim_brute_force_window():
+    """Cross-check the cumsum-based uniform filter against a naive O(n^2 w^2)
+    windowed implementation."""
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0, 1, (20, 20))
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1)
+
+    win, k1, k2, dr = 7, 0.01, 0.03, 1.0
+    pad = win // 2
+    ap = np.pad(a, pad, mode="symmetric")
+    bp = np.pad(b, pad, mode="symmetric")
+    n = win * win
+    cov_norm = n / (n - 1)
+    vals = []
+    for i in range(pad, pad + a.shape[0]):
+        for j in range(pad, pad + a.shape[1]):
+            wa = ap[i - pad : i + pad + 1, j - pad : j + pad + 1]
+            wb = bp[i - pad : i + pad + 1, j - pad : j + pad + 1]
+            ux, uy = wa.mean(), wb.mean()
+            vx = cov_norm * (np.mean(wa * wa) - ux * ux)
+            vy = cov_norm * (np.mean(wb * wb) - uy * uy)
+            vxy = cov_norm * (np.mean(wa * wb) - ux * uy)
+            c1, c2 = (k1 * dr) ** 2, (k2 * dr) ** 2
+            vals.append(
+                ((2 * ux * uy + c1) * (2 * vxy + c2))
+                / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+            )
+    # Crop like the fast path does.
+    grid = np.array(vals).reshape(a.shape)
+    expect = grid[pad:-pad, pad:-pad].mean()
+    got = M.ssim(a, b, data_range=1.0)
+    assert got == pytest.approx(expect, abs=1e-9)
+
+
+def test_calc_ssim_two_variants():
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    tgt = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1).astype(np.float32)
+    v1, v2 = M.calc_ssim(img, tgt)
+    assert 0 < v1 < 1 and 0 < v2 < 1
+    assert v1 != v2  # different data_range conventions
+
+
+def test_psnr():
+    a = np.zeros((8, 8, 3))
+    b = np.full((8, 8, 3), 0.1)
+    assert M.psnr(a, b) == pytest.approx(20.0, abs=1e-6)
+
+
+# ------------------------------------------------------------ LR schedule
+
+
+@requires_reference
+def test_lr_schedule_parity():
+    import sys
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    from general_utils.nerf_helpers import learning_rate_decay as ref_lr
+
+    for step in [0, 100, 2500, 50000, 200000]:
+        ours = float(
+            schedules.learning_rate_decay(
+                step, 5e-4, 5e-6, 200001, lr_delay_steps=2500, lr_delay_mult=0.01
+            )
+        )
+        theirs = float(ref_lr(step, 5e-4, 5e-6, 200001, 2500, 0.01))
+        assert ours == pytest.approx(theirs, rel=1e-5), step
+
+
+def test_schedule_values():
+    cfg = Config.from_dict(
+        {"train_params": {"max_pdf_pad_iters": 100, "gaussian_smooth_factor": 2.0,
+                          "final_smooth": 1.0, "finnish_smooth": 1000}}
+    )
+    assert bool(schedules.pdf_padding(99, cfg))
+    assert not bool(schedules.pdf_padding(100, cfg))
+    assert float(schedules.gaussian_smooth_factor(0, cfg)) == pytest.approx(2.0)
+    assert float(schedules.gaussian_smooth_factor(500, cfg)) == pytest.approx(1.5)
+    assert float(schedules.gaussian_smooth_factor(5000, cfg)) == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------- config
+
+
+def test_config_reads_reference_yaml_verbatim():
+    """Our config must ingest the reference's own YAML files unchanged."""
+    import os
+
+    path = os.path.join(REFERENCE_PATH, "configs", "config_blender.yml")
+    if not os.path.exists(path):
+        pytest.skip("reference configs not available")
+    cfg = Config.from_yaml(path).resolved()
+    assert cfg.nerf.type == "DDNerfModel"
+    assert cfg.nerf.train.num_coarse == 32
+    assert cfg.dataset.near == 2 and cfg.dataset.far == 6
+    assert cfg.train_params.gaussian_smooth_factor == 1.7
+    # auto dist_reg: clip(1/32, .01, .12) = 0.03125 (train_model.py:124-126)
+    assert cfg.train_params.dist_reg_coeficient == pytest.approx(1 / 32)
+
+
+def test_config_roundtrip_and_replace():
+    cfg = Config()
+    dumped = cfg.dump()
+    cfg2 = Config.from_yaml_str(dumped) if hasattr(Config, "from_yaml_str") else None
+    import io
+
+    cfg2 = Config.from_yaml(io.StringIO(dumped))
+    assert cfg2 == cfg
+    cfg3 = cfg.replace_at("nerf.train.num_coarse", 64)
+    assert cfg3.nerf.train.num_coarse == 64
+    assert cfg.nerf.train.num_coarse == 32  # frozen original untouched
+
+
+def test_own_config_files_load():
+    import glob
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = glob.glob(os.path.join(repo, "configs", "*.yml"))
+    assert len(files) >= 6
+    for f in files:
+        cfg = Config.from_yaml(f).resolved()
+        assert cfg.nerf.type in ("DDNerfModel", "GeneralMipNerfModel"), f
