@@ -72,17 +72,50 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
             int(state.step) // cfg.experiment.validate_every
         ) % len(val_ds)
 
-    # ---- jitted step: device-resident ray store
-    store = jnp.asarray(train_ds.device_store())
-    if mesh is not None:
-        from ddnerf_tpu.parallel.mesh import make_sharded_store_train_step
+    # ---- jitted step.  Default: device-resident ray store with in-step
+    # sampling.  Datasets too large for HBM (> ~6 GB of rays) fall back to
+    # host-side sampling + per-step transfer (the reference's only mode).
+    host_store = train_ds.device_store()
+    use_device_store = host_store.nbytes < 6 * 1024**3
+    if use_device_store:
+        store = jnp.asarray(host_store)
+        if mesh is not None:
+            from ddnerf_tpu.parallel.mesh import make_sharded_store_train_step
 
-        step_fn = make_sharded_store_train_step(cfg, pipeline, mesh)
+            step_fn = make_sharded_store_train_step(cfg, pipeline, mesh)
+        else:
+            step_fn = jax.jit(
+                make_train_step_from_store(cfg, pipeline),
+                donate_argnums=0 if cfg.parallel.donate_state else (),
+            )
     else:
-        step_fn = jax.jit(
-            make_train_step_from_store(cfg, pipeline),
-            donate_argnums=0 if cfg.parallel.donate_state else (),
-        )
+        del host_store
+        host_rng = np.random.default_rng(cfg.experiment.randomseed)
+        if mesh is not None:
+            from ddnerf_tpu.parallel.mesh import make_sharded_train_step, shard_batch
+
+            batch_step = make_sharded_train_step(cfg, pipeline, mesh)
+        else:
+            batch_step = jax.jit(
+                make_train_step(cfg, pipeline),
+                donate_argnums=0 if cfg.parallel.donate_state else (),
+            )
+
+        def step_fn(state, _unused):
+            ro, rd, radii, rgb = train_ds.sample_batch(
+                host_rng, cfg.nerf.train.num_random_rays
+            )
+            batch = {
+                "origins": jnp.asarray(ro),
+                "directions": jnp.asarray(rd),
+                "radii": jnp.asarray(radii),
+                "rgb": jnp.asarray(rgb),
+            }
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            return batch_step(state, batch)
+
+        store = None
 
     # ---- validation renderer
     extract = list(DEFAULT_KEYS)
