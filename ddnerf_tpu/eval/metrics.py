@@ -96,12 +96,13 @@ def ssim(
 
 
 def calc_ssim(image: np.ndarray, target: np.ndarray) -> Tuple[float, float]:
-    """The reference's two-variant SSIM (validation.py:7-16): v1 with the
-    legacy default data_range (1.0 for float), v2 with
+    """The reference's two-variant SSIM (validation.py:7-16): v1 via the
+    legacy ``compare_ssim`` (whose float default assumed the dtype range
+    [-1, 1], i.e. data_range=2), v2 via the modern API with
     ``data_range = image.max() - image.min()``."""
     image_gray = rgb2gray(image)
     target_gray = rgb2gray(target)
-    v1 = ssim(target_gray, image_gray, data_range=1.0)
+    v1 = ssim(target_gray, image_gray, data_range=2.0)
     v2 = ssim(
         target_gray, image_gray,
         data_range=float(image_gray.max() - image_gray.min()),
