@@ -15,6 +15,9 @@ def main():
                         help="Extract a point cloud per validation image.")
     parser.add_argument("--lpips-weights", type=str, default=None,
                         help="Path to local AlexNet-LPIPS weights (.npz).")
+    parser.add_argument("--max-images", type=int, default=10,
+                        help="Cap on validation images (reference "
+                             "MAX_VALIDATION_IMAGES=10).")
     args = parser.parse_args()
 
     eval_model(
@@ -22,6 +25,7 @@ def main():
         extract_ptc=args.extract_ptc,
         save_images=args.save_images,
         lpips_weights=args.lpips_weights,
+        max_images=args.max_images,
     )
 
 

@@ -141,15 +141,19 @@ def integrated_pos_enc(means_covs, min_deg=0, max_deg=16, diag=True):
     )[0]
 
 
-def positional_encoding(x, num_freqs=4, include_input=True):
+def positional_encoding(x, num_freqs=4, include_input=True, log_sampling=True):
     """Classic NeRF PE used for view directions (nerf_helpers.py:127-171).
 
-    log-sampled frequency bands 2^0..2^(num_freqs-1); output layout matches
-    the reference: ``[x, sin(f0 x), cos(f0 x), sin(f1 x), cos(f1 x), ...]``.
+    Frequency bands 2^0..2^(num_freqs-1), log- or linearly-sampled; output
+    layout matches the reference:
+    ``[x, sin(f0 x), cos(f0 x), sin(f1 x), cos(f1 x), ...]``.
     """
     if num_freqs == 0:
         return x
-    freqs = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype)
+    if log_sampling:
+        freqs = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype)
+    else:
+        freqs = jnp.linspace(1.0, 2.0 ** (num_freqs - 1), num_freqs, dtype=x.dtype)
     xb = x[..., None, :] * freqs[:, None]  # [..., F, D]
     enc = jnp.stack([jnp.sin(xb), jnp.cos(xb)], axis=-2)  # [..., F, 2, D]
     enc = enc.reshape(x.shape[:-1] + (-1,))

@@ -128,8 +128,22 @@ class NerfPipeline:
 
     # --------------------------------------------------------------- network
 
-    def _run_network(self, module, params, rays: RayBatch, t_vals):
-        """cast_rays → IPE → viewdir PE → MLP (reference models.py:117-142)."""
+    def _use_pallas(self, mode: str) -> bool:
+        policy = self.cfg.parallel.pallas_mlp
+        if self.cfg.parallel.use_pallas_mlp:  # legacy bool alias
+            policy = "all"
+        if policy == "all":
+            return True
+        # "render": auto-enable only on real hardware — interpret mode is a
+        # correctness tool, not a fast path.
+        return policy == "render" and mode == "validation" and not self._pallas_interpret
+
+    def _run_network(self, module, params, rays: RayBatch, t_vals, mode="train"):
+        """cast_rays → IPE → viewdir PE → MLP (reference models.py:117-142).
+
+        The MLP runs through the fused Pallas kernel when the policy allows
+        (forward-only rendering by default — see kernels/fused_mlp.py and
+        PERF.md), else through the flax module (XLA)."""
         means, covs = mmath.cast_rays(
             t_vals, rays.origins, rays.directions, rays.radii, self.cfg.nerf.ray_shape
         )
@@ -138,7 +152,7 @@ class NerfPipeline:
         dirs_b = jnp.broadcast_to(
             dirs_enc[..., None, :], ipe.shape[:-1] + (dirs_enc.shape[-1],)
         )
-        if self.cfg.parallel.use_pallas_mlp:
+        if self._use_pallas(mode):
             from ddnerf_tpu.kernels.fused_mlp import fused_mlp_apply
 
             depth_head = isinstance(module, DepthMipMLP)
@@ -205,7 +219,7 @@ class NerfPipeline:
                 )
                 t_vals = jax.lax.stop_gradient(t_vals)
 
-            raw = self._run_network(self.coarse, params["coarse"], rays, t_vals)
+            raw = self._run_network(self.coarse, params["coarse"], rays, t_vals, mode)
             out = rendering.volume_render(
                 raw[..., :3],
                 raw[..., 3],
@@ -236,7 +250,7 @@ class NerfPipeline:
 
         # ---- cycle 0: coarse with depth-distribution head
         t0 = self._first_cycle_tvals(r_strat, rays, mc)
-        raw0 = self._run_network(self.coarse, params["coarse"], rays, t0)  # [N,S,6]
+        raw0 = self._run_network(self.coarse, params["coarse"], rays, t0, mode)  # [N,S,6]
 
         raw_mus, raw_sigmas = raw0[..., 4], raw0[..., 5]
         mus = jax.nn.sigmoid(raw_mus)
@@ -290,7 +304,7 @@ class NerfPipeline:
         # honest equivalent.
         t1 = jax.lax.stop_gradient(t1)
 
-        raw1 = self._run_network(self.fine, params["fine"], rays, t1)  # [N,M,4]
+        raw1 = self._run_network(self.fine, params["fine"], rays, t1, mode)  # [N,M,4]
         out1 = rendering.volume_render(
             raw1[..., :3],
             raw1[..., 3],
