@@ -71,6 +71,9 @@ class TrainParamsConfig:
     set_automatic_dist_reg_coeficient: bool = True
     loss_coeficients: Tuple[float, ...] = (1.0, 1.0)
     dp_coeficient: float = 0.1
+    # "kl" (the reference's active dd_utils loss) or "js" (the Jensen-Shannon
+    # form from its experimental loss.py v6 ``mse`` branch).
+    dp_loss_variant: str = "kl"
 
 
 @dataclass(frozen=True)

@@ -36,6 +36,7 @@ def estimate_dp_loss(
     part_inside_cells_0,
     *,
     filter_empty_rays: bool,
+    variant: str = "kl",
 ):
     """KL divergence between the fine weight distribution and the coarse
     truncated-Gaussian depth distribution evaluated at the fine fenceposts
@@ -101,7 +102,16 @@ def estimate_dp_loss(
     est_pdf_1 = (est_pdf_1 + _EPS) / jnp.sum(est_pdf_1 + _EPS, axis=-1, keepdims=True)
 
     tgt = jax.lax.stop_gradient(pdf_1)
-    kl = tgt * (jnp.log(tgt) - jnp.log(est_pdf_1))  # [N, M]
+    if variant == "kl":
+        kl = tgt * (jnp.log(tgt) - jnp.log(est_pdf_1))  # [N, M]
+    elif variant == "js":
+        # Jensen-Shannon form from the reference's experimental v6 ``mse``
+        # branch (loss.py:468-470): KL(m||target) + KL(m||estimate) with
+        # m = (estimate + target)/2.
+        m = (est_pdf_1 + tgt) / 2.0
+        kl = m * (jnp.log(m) - jnp.log(tgt)) + m * (jnp.log(m) - jnp.log(est_pdf_1))
+    else:
+        raise ValueError(f"unknown dp loss variant {variant!r}")
     per_ray = jnp.mean(kl, axis=-1)
 
     if filter_empty_rays:

@@ -328,6 +328,7 @@ class NerfPipeline:
             sg(left_tail),
             sg(part_inside),
             filter_empty_rays=self._filter_empty,
+            variant=tp.dp_loss_variant,
         ) * (t1.shape[-1] - 1)
         dp_loss = dp + mus_reg + sig_reg
 

@@ -305,3 +305,42 @@ def test_sample_first_cycle_parity_no_perturb(ref):
         perturb=False,
     )
     np.testing.assert_allclose(out_jax, out_ref, rtol=1e-5, atol=1e-6)
+
+
+@requires_reference
+def test_dp_loss_js_variant_parity(ref):
+    """The 'js' variant matches loss.py v6's mse branch (loss.py:468-470)."""
+    import sys
+    import torch
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import general_utils.loss as ref_loss
+
+    rng = np.random.default_rng(11)
+    n, s, m = 6, 8, 12
+    t0, w0 = _histogram(rng, n, s)
+    t1, w1 = _histogram(rng, n, m)
+    mus = rng.uniform(0.2, 0.8, (n, s)).astype(np.float32)
+    sigmas = rng.uniform(0.05, 0.5, (n, s)).astype(np.float32)
+    lt, pib = mmath.truncated_gaussian_tails(jnp.asarray(mus), jnp.asarray(sigmas))
+    lt, pib = np.asarray(lt), np.asarray(pib)
+
+    class _C:
+        class dataset:
+            type = "llff"
+
+        class train_params:
+            mse = True
+
+    out_ref = ref_loss.estimate_dp_loss_v6(
+        torch.tensor(t1), torch.tensor(t0), torch.tensor(w1), torch.tensor(w0),
+        torch.tensor(mus), torch.tensor(sigmas), torch.tensor(lt),
+        torch.tensor(pib), _C,
+    ).item()
+    out_jax = dd.estimate_dp_loss(
+        jnp.asarray(t1), jnp.asarray(t0), jnp.asarray(w1), jnp.asarray(w0),
+        jnp.asarray(mus), jnp.asarray(sigmas), jnp.asarray(lt), jnp.asarray(pib),
+        filter_empty_rays=False, variant="js",
+    )
+    np.testing.assert_allclose(float(out_jax), out_ref, rtol=2e-3, atol=1e-6)
