@@ -15,11 +15,15 @@ def main():
                         help="Path to a logdir to resume from.")
     parser.add_argument("--max-iters", type=int, default=0,
                         help="Override experiment.train_iters (0 = use config).")
+    parser.add_argument("--profile-steps", type=int, default=0,
+                        help="Capture a jax.profiler trace of N steady-state "
+                             "steps into the logdir.")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
     train(cfg, load_checkpoint=args.load_checkpoint,
-          max_iters=args.max_iters or None)
+          max_iters=args.max_iters or None,
+          profile_steps=args.profile_steps)
     print("Done!")
 
 

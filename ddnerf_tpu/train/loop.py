@@ -37,8 +37,13 @@ from ddnerf_tpu.viz.documentation import Documenter
 
 
 def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = None,
-          use_tensorboard: bool = True, verbose: bool = True):
-    """Run training.  Returns (state, logdir)."""
+          use_tensorboard: bool = True, verbose: bool = True,
+          profile_steps: int = 0):
+    """Run training.  Returns (state, logdir).
+
+    ``profile_steps`` > 0 captures a jax.profiler trace of that many steady-
+    state steps under ``logdir`` (TensorBoard-viewable; SURVEY.md §5 tracing).
+    """
     logdir = os.path.join(cfg.experiment.logdir, cfg.experiment.id)
     os.makedirs(logdir, exist_ok=True)
     doc = Documenter(logdir, use_tensorboard=use_tensorboard)
@@ -133,6 +138,14 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
     metrics = {}
 
     for i in range(start, total_iters):
+        if profile_steps and i == start + 2:  # skip compile + first dispatch
+            from ddnerf_tpu.utils.profiling import trace as profiler_trace
+
+            with profiler_trace(logdir):
+                for _ in range(profile_steps):
+                    state, metrics = step_fn(state, store)
+                jax.block_until_ready(metrics["loss"])
+            profile_steps = 0
         state, metrics = step_fn(state, store)
 
         if i % cfg.experiment.print_every == 0 or i == total_iters - 1:
