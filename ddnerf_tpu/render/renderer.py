@@ -91,25 +91,30 @@ class ImageRenderer:
             )
             rng, sub = jax.random.split(rng)
             out = self._step(params, batch, sub, sched)
+            # Keep device arrays here: all chunks are DISPATCHED before any
+            # result is fetched, so device compute overlaps host transfers
+            # (a serial fetch-per-chunk halves large-image throughput).
             for i in (0, 1):
                 for key in self.extract_keys:
                     if key not in out[i] or out[i][key] is None:
                         continue
-                    arr = np.asarray(out[i][key])
-                    if arr.ndim and pad:
-                        arr = arr[: end - start]
-                    outs[i].setdefault(key, []).append(arr)
+                    outs[i].setdefault(key, []).append((out[i][key], end - start))
 
-        # Scalars (e.g. dp_loss) are averaged over chunks — mirroring the
-        # reference's concat-then-mean of per-chunk values (models.py:57-61,
-        # train_model.py:218).
-        return {
-            i: {
-                k: (np.mean(v) if v[0].ndim == 0 else np.concatenate(v, axis=0))
-                for k, v in outs[i].items()
-            }
-            for i in outs
-        }
+        def fetch(chunks):
+            arrs = []
+            for dev, valid in chunks:
+                arr = np.asarray(dev)
+                if arr.ndim and arr.shape[0] != valid:
+                    arr = arr[:valid]
+                arrs.append(arr)
+            # Scalars (e.g. dp_loss) are averaged over chunks — mirroring the
+            # reference's concat-then-mean (models.py:57-61,
+            # train_model.py:218).
+            if arrs[0].ndim == 0:
+                return np.mean(arrs)
+            return np.concatenate(arrs, axis=0)
+
+        return {i: {k: fetch(v) for k, v in outs[i].items()} for i in outs}
 
     # ------------------------------------------------------------- image
 
