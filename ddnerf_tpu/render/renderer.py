@@ -41,11 +41,71 @@ class ImageRenderer:
         else:
             self._step = jax.jit(make_eval_step(cfg, pipeline))
             self._shard = lambda b: b
+            self._eval_fn = make_eval_step(cfg, pipeline)
+            self._ondevice_cache = {}
 
     def _make_sharder(self, mesh):
         from ddnerf_tpu.parallel.mesh import shard_batch
 
         return lambda b: shard_batch(mesh, b)
+
+    # -------------------------------------------------- on-device chunking
+
+    def _ondevice_render(self, params, origins, directions, radii, rng, sched):
+        """All chunks in ONE jitted program via ``lax.map`` over the chunk
+        axis: one dispatch, one fetch.  The host-streaming path pays an RPC
+        round-trip per chunk, which dominates on relayed backends (measured
+        ~2x on 800x800 images)."""
+        n = origins.shape[0]
+        chunk = min(self.chunk, n)
+        k = -(-n // chunk)
+
+        def pad_reshape(x):
+            padn = k * chunk - n
+            if padn:
+                x = np.concatenate([x, np.repeat(x[-1:], padn, axis=0)], axis=0)
+            return jnp.asarray(x.reshape(k, chunk, x.shape[-1]))
+
+        key = (k, chunk)
+        if key not in self._ondevice_cache:
+            eval_fn = self._eval_fn
+
+            @jax.jit
+            def render_all(params, ro, rd, rr, keys, sched):
+                def body(args):
+                    ro_c, rd_c, rr_c, key_c = args
+                    return eval_fn(
+                        params,
+                        {"origins": ro_c, "directions": rd_c, "radii": rr_c},
+                        key_c,
+                        sched,
+                    )
+
+                return jax.lax.map(body, (ro, rd, rr, keys))
+
+            self._ondevice_cache[key] = render_all
+
+        keys = jax.random.split(rng, k)
+        out = self._ondevice_cache[key](
+            params,
+            pad_reshape(origins),
+            pad_reshape(directions),
+            pad_reshape(radii),
+            keys,
+            sched,
+        )
+
+        result: Dict[int, Dict[str, np.ndarray]] = {0: {}, 1: {}}
+        for i in (0, 1):
+            for name in self.extract_keys:
+                if name not in out[i] or out[i][name] is None:
+                    continue
+                arr = np.asarray(out[i][name])  # [k, chunk, ...] or [k]
+                if arr.ndim == 1:  # per-chunk scalar -> chunk mean
+                    result[i][name] = np.mean(arr)
+                else:
+                    result[i][name] = arr.reshape(k * chunk, *arr.shape[2:])[:n]
+        return result
 
     # ------------------------------------------------------------ flat rays
 
@@ -68,6 +128,9 @@ class ImageRenderer:
         directions = np.asarray(directions, np.float32).reshape(-1, 3)
         radii = np.asarray(radii, np.float32).reshape(-1, 1)
         n = origins.shape[0]
+        if self.mesh is None:
+            return self._ondevice_render(params, origins, directions, radii,
+                                         rng, sched)
         chunk = min(self.chunk, n) if n else self.chunk
 
         outs: Dict[int, Dict[str, list]] = {0: {}, 1: {}}
