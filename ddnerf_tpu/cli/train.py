@@ -18,12 +18,18 @@ def main():
     parser.add_argument("--profile-steps", type=int, default=0,
                         help="Capture a jax.profiler trace of N steady-state "
                              "steps into the logdir.")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="Enable jax_debug_nans: raise at the op that "
+                             "produces a NaN (CI/sanitizer mode, slower).")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
-    train(cfg, load_checkpoint=args.load_checkpoint,
-          max_iters=args.max_iters or None,
-          profile_steps=args.profile_steps)
+    from ddnerf_tpu.utils.debug import nan_debug_mode
+
+    with nan_debug_mode(args.debug_nans):
+        train(cfg, load_checkpoint=args.load_checkpoint,
+              max_iters=args.max_iters or None,
+              profile_steps=args.profile_steps)
     print("Done!")
 
 
