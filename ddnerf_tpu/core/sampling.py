@@ -133,7 +133,25 @@ def _interval_index(u, cdf):
     return jnp.clip(ind, 0, num_bins - 1)
 
 
+def _one_hot_of(ind, depth):
+    """[..., M] int32 -> [..., M, depth] f32 selection matrix.
+
+    Per-sample section values are fetched with one-hot contractions
+    (``einsum('...ms,...s->...m', one_hot(ind), x)``) instead of
+    ``take_along_axis``: TPU gathers are effectively scalar addressing and
+    measured as the dominant cost of the resampler + dp loss (~40% of an
+    eval step), while with S ≈ 33 the dense contraction is cheap VPU/MXU
+    work — the same insight behind the reference's broadcast-mask
+    ``find_interval`` (samplers.py:106-119), which never gathers either.
+    The one-hot matrix is built once per call site and shared across all
+    fetched arrays.
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, ind.shape + (depth,), ind.ndim)
+    return (ind[..., None] == iota).astype(jnp.float32)
+
+
 def _take(x, ind):
+    """Single-array gather (host-side / tiny shapes)."""
     return jnp.take_along_axis(x, ind, axis=-1)
 
 
@@ -163,8 +181,12 @@ def sample_pdf(rng, bins, weights, num_samples, *, pdf_padding, det=True):
         u = jnp.minimum(u, 0.9999)
 
     ind = _interval_index(u, cdf)
-    bins_g0, bins_g1 = _take(bins, ind), _take(bins, ind + 1)
-    cdf_g0, cdf_g1 = _take(cdf, ind), _take(cdf, ind + 1)
+    oh0 = _one_hot_of(ind, cdf.shape[-1])
+    oh1 = jnp.roll(oh0, 1, axis=-1)  # selects ind+1 (ind <= S-1, no wrap)
+    take0 = lambda x: jnp.einsum("...ms,...s->...m", oh0, x)
+    take1 = lambda x: jnp.einsum("...ms,...s->...m", oh1, x)
+    bins_g0, bins_g1 = take0(bins), take1(bins)
+    cdf_g0, cdf_g1 = take0(cdf), take1(cdf)
 
     denom = cdf_g1 - cdf_g0
     t = jnp.clip(jnp.where(denom > 0, (u - cdf_g0) / jnp.where(denom > 0, denom, 1.0), 0.0), 0.0, 1.0)
@@ -228,18 +250,25 @@ def sample_pdf_with_mu_sigma(
         bins_g1 = bins[..., 1:2]
     else:
         ind = _interval_index(u, cdf)
-        bins_g0, bins_g1 = _take(bins, ind), _take(bins, ind + 1)
-        cdf_g0, cdf_g1 = _take(cdf, ind), _take(cdf, ind + 1)
+        oh0 = _one_hot_of(ind, cdf.shape[-1])  # [..., M, S+1]
+        oh1 = jnp.roll(oh0, 1, axis=-1)
+        ohs = oh0[..., :-1]  # section-indexed arrays (S entries)
+        take0 = lambda x: jnp.einsum("...ms,...s->...m", oh0, x)
+        take1 = lambda x: jnp.einsum("...ms,...s->...m", oh1, x)
+        takes = lambda x: jnp.einsum("...ms,...s->...m", ohs, x)
 
-        pib = _take(part_inside_bins, ind)
-        lt = _take(left_tail, ind)
+        bins_g0, bins_g1 = take0(bins), take1(bins)
+        cdf_g0, cdf_g1 = take0(cdf), take1(cdf)
+
+        pib = takes(part_inside_bins)
+        lt = takes(left_tail)
 
         denom = cdf_g1 - cdf_g0
         frac = jnp.where(denom > 0, (u - cdf_g0) / jnp.where(denom > 0, denom, 1.0), 0.0)
         z = jnp.minimum(frac * pib + lt, 0.999)
 
-        new_mus = _take(mus, ind)
-        new_sigmas = _take(sigmas, ind)
+        new_mus = takes(mus)
+        new_sigmas = takes(sigmas)
 
     z = mmath.normal_inverse_cdf(z)
     t = jnp.clip(z * new_sigmas + new_mus, 0.0, 0.99999)

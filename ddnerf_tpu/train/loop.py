@@ -150,16 +150,19 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
 
         if i % cfg.experiment.print_every == 0 or i == total_iters - 1:
             m = {k: float(v) for k, v in metrics.items()}
+            # rays/sec is the north-star throughput metric (SURVEY.md §5);
+            # recorded alongside the training scalars.
+            rate = (i - start + 1) * cfg.nerf.train.num_random_rays / (
+                time.time() - t_start
+            )
+            m["rays_per_sec"] = rate
             if verbose:
-                rate = (i - start + 1) * cfg.nerf.train.num_random_rays / (
-                    time.time() - t_start
-                )
                 print(
                     f"[TRAIN] iter {i} loss {m['loss']:.4f} "
                     f"psnr {m['psnr_fine']:.2f} lr {m['lr']:.2e} "
                     f"({rate:,.0f} rays/s)"
                 )
-            doc.write_train_iter(i, m)
+            doc.write_train_iter(i, m, extra_scalars={"train/rays_per_sec": rate})
 
         # ------------------------------------------------------ validation
         if i % cfg.experiment.validate_every == 0 or i == total_iters - 1:
