@@ -155,11 +155,11 @@ class ParallelConfig:
     num_devices: int = 0  # 0 => use all available devices
     # precision policy for the MLP evaluation ("bfloat16" rides the MXU at 2x).
     compute_dtype: str = "float32"
-    # Fused Pallas MLP kernel: "off" | "render" | "all".  Measured on v5e:
-    # +30% rays/s for forward-only rendering (activations stay in VMEM);
-    # a net loss for training (the custom-VJP recompute backward costs an
-    # extra forward on a compute-bound chip) — see PERF.md.
-    pallas_mlp: str = "render"
+    # Fused Pallas MLP kernel: "off" | "render" | "all".  Off by default:
+    # it was a +30% render win while the pipeline was gather-bound, but after
+    # the one-hot gather rewrite plain XLA fuses the whole forward better
+    # (729k vs 526k rays/s on v5e) — see PERF.md for the measurement story.
+    pallas_mlp: str = "off"
     # legacy bool alias for pallas_mlp ("all" when True)
     use_pallas_mlp: bool = False
     donate_state: bool = True
