@@ -55,7 +55,7 @@ def eval_model(
     state = manager.restore(state)
 
     sched = ScheduleValues.for_eval(cfg)  # eval-time fixup (eval_nerf.py:53-55)
-    renderer = ImageRenderer(cfg, pipeline)
+    renderer = ImageRenderer(cfg, pipeline, mode="render")
 
     # Depth-analysis pass (eval_nerf.py:66-89).
     if cfg.train_params.depth_analysis_rays:

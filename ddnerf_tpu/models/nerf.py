@@ -136,7 +136,11 @@ class NerfPipeline:
             return True
         # "render": auto-enable only on real hardware — interpret mode is a
         # correctness tool, not a fast path.
-        return policy == "render" and mode == "validation" and not self._pallas_interpret
+        return (
+            policy == "render"
+            and mode in ("validation", "render")
+            and not self._pallas_interpret
+        )
 
     def _run_network(self, module, params, rays: RayBatch, t_vals, mode="train"):
         """cast_rays → IPE → viewdir PE → MLP (reference models.py:117-142).
@@ -315,6 +319,22 @@ class NerfPipeline:
             white_background=mc.white_background,
             eps_mask_pdf=self._eps_mask_pdf,
         )
+
+        if mode == "render":
+            # Pure image synthesis (video frames, eval image dumps): the dp
+            # loss and diagnostics are not consumed — skipping them removes a
+            # full [N, S, M] interval search from every frame.
+            return {
+                0: {
+                    "rgb": out0.rgb, "disp": out0.disp, "acc": out0.acc,
+                    "weights": out0.weights, "depth": out0.depth,
+                    "corrected_disp_map": out0.corrected_disp, "t_vals": t0,
+                },
+                1: {
+                    "rgb": out1.rgb, "disp": out1.disp, "acc": out1.acc,
+                    "weights": out1.weights, "depth": out1.depth, "t_vals": t1,
+                },
+            }
 
         # ---- depth-prediction KL loss (models.py:284-289)
         sg = jax.lax.stop_gradient

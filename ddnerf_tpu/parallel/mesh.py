@@ -94,12 +94,13 @@ def make_sharded_store_train_step(cfg: Config, pipeline, mesh: Mesh):
     )
 
 
-def make_sharded_eval_step(cfg: Config, pipeline, mesh: Mesh):
+def make_sharded_eval_step(cfg: Config, pipeline, mesh: Mesh,
+                           mode: str = "validation"):
     """Whole-image render step: pixels sharded over the mesh (render-tile
     parallelism, BASELINE.json config 5)."""
     from ddnerf_tpu.train.step import make_eval_step
 
-    eval_fn = make_eval_step(cfg, pipeline)
+    eval_fn = make_eval_step(cfg, pipeline, mode=mode)
     repl = replicated(mesh)
     rays = ray_sharding(mesh)
     batch_sharding = {k: rays for k in ("origins", "directions", "radii")}

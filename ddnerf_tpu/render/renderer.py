@@ -27,7 +27,9 @@ DEFAULT_KEYS = ("rgb", "disp", "acc", "depth", "corrected_disp_map")
 
 class ImageRenderer:
     def __init__(self, cfg: Config, pipeline: NerfPipeline, mesh=None,
-                 extract_keys=DEFAULT_KEYS):
+                 extract_keys=DEFAULT_KEYS, mode: str = "validation"):
+        """``mode="render"`` skips loss diagnostics per chunk (video / image
+        dumps); ``"validation"`` keeps them (dp_loss feeds val metrics)."""
         self.cfg = cfg
         self.pipeline = pipeline
         self.chunk = cfg.nerf.validation.chunksize
@@ -36,12 +38,12 @@ class ImageRenderer:
         if mesh is not None:
             from ddnerf_tpu.parallel.mesh import make_sharded_eval_step
 
-            self._step = make_sharded_eval_step(cfg, pipeline, mesh)
+            self._step = make_sharded_eval_step(cfg, pipeline, mesh, mode=mode)
             self._shard = self._make_sharder(mesh)
         else:
-            self._step = jax.jit(make_eval_step(cfg, pipeline))
+            self._step = jax.jit(make_eval_step(cfg, pipeline, mode=mode))
             self._shard = lambda b: b
-            self._eval_fn = make_eval_step(cfg, pipeline)
+            self._eval_fn = make_eval_step(cfg, pipeline, mode=mode)
             self._ondevice_cache = {}
 
     def _make_sharder(self, mesh):
@@ -207,7 +209,7 @@ def render_video_frames(
 ):
     """Iterate the dataset's render-pose path, yielding per-frame dicts
     (mirrors render_video.py:73-104's pose loop)."""
-    renderer = ImageRenderer(cfg, pipeline, mesh)
+    renderer = ImageRenderer(cfg, pipeline, mesh, mode="render")
     sched = ScheduleValues.for_eval(cfg)
     n = len(val_dataset.render_poses)
     for idx in range(n):

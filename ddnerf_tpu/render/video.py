@@ -36,7 +36,7 @@ def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
     state = ckpt.CheckpointManager(basedir).restore(state)
     sched = ScheduleValues.for_eval(cfg)
 
-    renderer = ImageRenderer(cfg, pipeline)
+    renderer = ImageRenderer(cfg, pipeline, mode="render")
     h, w = val_ds.H, val_ds.W
 
     import cv2

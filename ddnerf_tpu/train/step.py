@@ -126,10 +126,12 @@ def make_train_step_from_store(cfg: Config, pipeline: NerfPipeline):
     return train_step
 
 
-def make_eval_step(cfg: Config, pipeline: NerfPipeline):
+def make_eval_step(cfg: Config, pipeline: NerfPipeline, mode: str = "validation"):
     """Returns ``eval_step(params, batch, rng, sched) -> outputs`` for a flat
-    ray batch in validation mode (no grads).  Rendering full images tiles
-    over this via :mod:`ddnerf_tpu.render`."""
+    ray batch (no grads).  ``mode="validation"`` includes the dp loss (the
+    reference computes it for validation metrics, train_model.py:217-220);
+    ``mode="render"`` skips it for pure image synthesis.  Rendering full
+    images tiles over this via :mod:`ddnerf_tpu.render`."""
     near = cfg.dataset.near
     far = cfg.dataset.far
 
@@ -137,6 +139,6 @@ def make_eval_step(cfg: Config, pipeline: NerfPipeline):
         rays = RayBatch.create(
             batch["origins"], batch["directions"], batch["radii"], near, far
         )
-        return pipeline.render_rays(params, rays, rng, sched, "validation")
+        return pipeline.render_rays(params, rays, rng, sched, mode)
 
     return eval_step
