@@ -36,7 +36,10 @@ def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
     state = ckpt.CheckpointManager(basedir).restore(state)
     sched = ScheduleValues.for_eval(cfg)
 
-    renderer = ImageRenderer(cfg, pipeline, mode="render")
+    # Video frames need only the fine rgb + disparity — fetching fewer maps
+    # halves the device->host transfer per frame.
+    renderer = ImageRenderer(cfg, pipeline, mode="render",
+                             extract_keys=("rgb", "disp"))
     h, w = val_ds.H, val_ds.W
 
     import cv2
