@@ -24,7 +24,6 @@ keys the reference reads through ``try/except`` defaults
 
 from __future__ import annotations
 
-import dataclasses
 import io
 from dataclasses import dataclass, field, fields, is_dataclass, replace
 from typing import Any, Optional, Tuple

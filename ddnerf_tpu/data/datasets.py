@@ -15,11 +15,7 @@ parity and for datasets too large for HBM.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
-
-import jax.numpy as jnp
 
 from ddnerf_tpu.core.rays import get_ray_bundle, ndc_mipnerf_rays
 

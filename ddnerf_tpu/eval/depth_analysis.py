@@ -9,7 +9,7 @@ mus, sigmas), keeping the hot path free of diagnostics.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

@@ -18,7 +18,6 @@ import numpy as np
 
 import jax
 
-from ddnerf_tpu.config import Config
 from ddnerf_tpu.data.assembly import get_datasets
 from ddnerf_tpu.eval import metrics as M
 from ddnerf_tpu.eval.depth_analysis import run_depth_analysis

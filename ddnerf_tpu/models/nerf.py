@@ -13,7 +13,7 @@ resample → fine MLP → composite → losses.  No host round-trips.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import flax.struct
 import jax

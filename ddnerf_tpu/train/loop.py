@@ -28,7 +28,7 @@ from ddnerf_tpu.config import Config
 from ddnerf_tpu.core.rays import switch_t_ndc_to_regular
 from ddnerf_tpu.data.assembly import get_datasets
 from ddnerf_tpu.eval.depth_analysis import run_depth_analysis
-from ddnerf_tpu.models.nerf import NerfPipeline, ScheduleValues
+from ddnerf_tpu.models.nerf import NerfPipeline
 from ddnerf_tpu.render.renderer import DEFAULT_KEYS, ImageRenderer
 from ddnerf_tpu.train import checkpoint as ckpt
 from ddnerf_tpu.train.state import create_train_state
