@@ -44,3 +44,28 @@ def test_global_batch_ray_sharded():
     batch = {"origins": np.zeros((64, 3), np.float32)}
     g = dist.global_batch(mesh, batch)
     assert all(s.data.shape == (8, 3) for s in g["origins"].addressable_shards)
+
+
+@requires_multidevice
+def test_mesh_sizes_divide_rays():
+    """Sharded step works for several mesh widths (2/4/8) on the same batch."""
+    import jax.numpy as jnp
+
+    from ddnerf_tpu.parallel.mesh import make_mesh, make_sharded_train_step, shard_batch
+    from ddnerf_tpu.models.nerf import NerfPipeline
+    from ddnerf_tpu.train.state import create_train_state
+    from test_parallel import batch_for, tiny_cfg
+
+    cfg = tiny_cfg()
+    cfg, batch = batch_for(cfg)
+    pipe = NerfPipeline(cfg)
+    state0 = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    losses = []
+    for n in (2, 4, 8):
+        mesh = make_mesh(n)
+        step = make_sharded_train_step(
+            cfg.replace_at("parallel.donate_state", False), pipe, mesh
+        )
+        _, m = step(state0, shard_batch(mesh, batch))
+        losses.append(float(m["loss"]))
+    assert max(losses) - min(losses) < 1e-4  # identical math on any width
