@@ -344,3 +344,64 @@ def test_dp_loss_js_variant_parity(ref):
         filter_empty_rays=False, variant="js",
     )
     np.testing.assert_allclose(float(out_jax), out_ref, rtol=2e-3, atol=1e-6)
+
+
+@requires_reference
+@pytest.mark.parametrize("padding", [True, False])
+def test_sample_pdf_stochastic_distribution_parity(ref, padding):
+    """det=False branches: same u-construction formulas -> the sample
+    DISTRIBUTIONS must match even though the RNG streams differ.  Compared
+    via per-section occupancy histograms over many draws."""
+    import torch
+
+    ref_samplers, _ = ref
+    rng = np.random.default_rng(7)
+    n, s, m = 512, 8, 16
+    bins, weights = _histogram(rng, 1, s)
+    bins = np.repeat(bins, n, 0)
+    weights = np.repeat(weights, n, 0)
+
+    torch.manual_seed(0)
+    out_ref = ref_samplers.sample_pdf(
+        torch.tensor(bins), torch.tensor(weights), m,
+        _RefCfg(pdf_padding=padding), det=False,
+    ).detach().numpy()
+    out_jax = np.asarray(sampling.sample_pdf(
+        jax.random.PRNGKey(5), jnp.asarray(bins), jnp.asarray(weights), m,
+        pdf_padding=jnp.asarray(padding), det=False,
+    ))
+
+    edges = np.linspace(2.0, 6.0, 9)
+    h_ref, _ = np.histogram(out_ref.ravel(), bins=edges, density=True)
+    h_jax, _ = np.histogram(out_jax.ravel(), bins=edges, density=True)
+    np.testing.assert_allclose(h_jax, h_ref, rtol=0.15, atol=0.02)
+
+
+@requires_reference
+def test_sample_pdf_mu_sigma_stochastic_distribution_parity(ref):
+    import torch
+
+    ref_samplers, _ = ref
+    rng = np.random.default_rng(8)
+    n, s, m = 512, 8, 16
+    bins, weights, mus, sigmas, lt, pib = _dd_inputs(rng, 1, s)
+    bins, weights = np.repeat(bins, n, 0), np.repeat(weights, n, 0)
+    mus, sigmas = np.repeat(mus, n, 0), np.repeat(sigmas, n, 0)
+    lt, pib = np.repeat(lt, n, 0), np.repeat(pib, n, 0)
+
+    torch.manual_seed(0)
+    out_ref = ref_samplers.sample_pdf_with_mu_sigma(
+        torch.tensor(bins), torch.tensor(weights), torch.tensor(mus),
+        torch.tensor(sigmas), torch.tensor(pib), torch.tensor(lt), m,
+        _RefCfg(pdf_padding=True), det=False,
+    ).detach().numpy()
+    out_jax = np.asarray(sampling.sample_pdf_with_mu_sigma(
+        jax.random.PRNGKey(9), jnp.asarray(bins), jnp.asarray(weights),
+        jnp.asarray(mus), jnp.asarray(sigmas), jnp.asarray(pib), jnp.asarray(lt),
+        m, near=2.0, far=6.0, pdf_padding=jnp.asarray(True), det=False,
+    ))
+
+    edges = np.linspace(2.0, 6.0, 9)
+    h_ref, _ = np.histogram(out_ref.ravel(), bins=edges, density=True)
+    h_jax, _ = np.histogram(out_jax.ravel(), bins=edges, density=True)
+    np.testing.assert_allclose(h_jax, h_ref, rtol=0.15, atol=0.02)
