@@ -151,24 +151,30 @@ class NerfPipeline:
         means, covs = mmath.cast_rays(
             t_vals, rays.origins, rays.directions, rays.radii, self.cfg.nerf.ray_shape
         )
+        if self._use_pallas(mode):
+            # v2 kernel: IPE + viewdir PE + full MLP in VMEM; raw means/covs
+            # in, radiance out (kernels/fused_ipe_mlp.py).
+            from ddnerf_tpu.kernels.fused_ipe_mlp import fused_ipe_mlp_apply
+
+            depth_head = isinstance(module, DepthMipMLP)
+            out_dim = 6 if depth_head else 4
+            n, s = means.shape[0], means.shape[1]
+            dirs3 = jnp.broadcast_to(rays.viewdirs[:, None, :], (n, s, 3))
+            flat = fused_ipe_mlp_apply(
+                params,
+                means.reshape(-1, 3),
+                covs.reshape(-1, 3),
+                dirs3.reshape(-1, 3),
+                depth_head,
+                self._pallas_interpret,
+            )
+            return flat.reshape(n, s, out_dim)
+
         ipe = mmath.integrated_pos_enc((means, covs))  # [N, S, 96]
         dirs_enc = mmath.positional_encoding(rays.viewdirs, num_freqs=4)  # [N, 27]
         dirs_b = jnp.broadcast_to(
             dirs_enc[..., None, :], ipe.shape[:-1] + (dirs_enc.shape[-1],)
         )
-        if self._use_pallas(mode):
-            from ddnerf_tpu.kernels.fused_mlp import fused_mlp_apply
-
-            depth_head = isinstance(module, DepthMipMLP)
-            out_dim = 6 if depth_head else 4
-            flat = fused_mlp_apply(
-                params,
-                ipe.reshape(-1, ipe.shape[-1]),
-                dirs_b.reshape(-1, dirs_b.shape[-1]),
-                depth_head,
-                self._pallas_interpret,
-            )
-            return flat.reshape(ipe.shape[:-1] + (out_dim,))
         return module.apply({"params": params}, ipe, dirs_b)
 
     # ---------------------------------------------------------------- render
