@@ -117,3 +117,60 @@ def test_param_count_scales_with_hidden_size():
     params = pipe.init_params(jax.random.PRNGKey(0))
     assert param_count(params) > 0
     assert set(params.keys()) == {"coarse", "fine"}
+
+
+def test_ndc_training_reduces_loss():
+    """Forward-facing NDC regime (near=0, far=1, llff type): the full DD
+    pipeline must train in NDC space (validated at scale on TPU — PERF.md)."""
+    from ddnerf_tpu.data.datasets import TrainRayDataset
+    from ddnerf_tpu.data.synthetic import _trace
+
+    H = W = 32
+    focal = 40.0
+    ii, jj = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32), indexing="xy")
+    dirs_cam = np.stack(
+        [(ii - W / 2) / focal, -(jj - H / 2) / focal, -np.ones_like(ii)], -1
+    )
+    poses, images = [], []
+    for i in range(4):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = 0.3 * (i - 2) / 4
+        c2w[2, 3] = 4.0
+        rd = np.sum(dirs_cam[..., None, :] * c2w[:3, :3], -1)
+        ro = np.broadcast_to(c2w[:3, -1], rd.shape)
+        img = _trace(ro, rd)
+        images.append(img[..., :3] * img[..., 3:])
+        poses.append(c2w)
+    train_ds = TrainRayDataset(np.stack(poses), np.stack(images), focal,
+                               ndc_rays=True, single_image_mode=False)
+
+    cfg = Config.from_dict(
+        {
+            "experiment": {"train_iters": 60},
+            "dataset": {"type": "llff", "ndc_rays": True, "near": 0.0,
+                        "far": 1.0, "single_image_mode": False},
+            "nerf": {
+                "type": "DDNerfModel",
+                "coarse_hidden_size": 16,
+                "fine_hidden_size": 16,
+                "train": {"num_coarse": 8, "num_fine": 8, "num_random_rays": 128,
+                          "radiance_field_noise_std": 0.0},
+                "validation": {"num_coarse": 8, "num_fine": 8, "perturb": False},
+            },
+            "optimizer": {"lr_init": 3e-3, "lr_final": 1e-3, "lr_delay_steps": 0},
+        }
+    ).resolved()
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    store = jnp.asarray(train_ds.device_store())
+    step = jax.jit(make_train_step_from_store(cfg, pipe), donate_argnums=0)
+
+    first, last = [], []
+    for i in range(60):
+        state, m = step(state, store)
+        if i < 5:
+            first.append(float(m["loss_fine"]))
+        if i >= 55:
+            last.append(float(m["loss_fine"]))
+    assert np.mean(last) < np.mean(first) * 0.8
