@@ -18,6 +18,9 @@ def main():
     parser.add_argument("--max-images", type=int, default=10,
                         help="Cap on validation images (reference "
                              "MAX_VALIDATION_IMAGES=10).")
+    parser.add_argument("--torch-checkpoint", type=str, default=None,
+                        help="Evaluate a reference torch checkpoint.ckpt "
+                             "instead of the logdir's orbax checkpoint.")
     args = parser.parse_args()
 
     eval_model(
@@ -26,6 +29,7 @@ def main():
         save_images=args.save_images,
         lpips_weights=args.lpips_weights,
         max_images=args.max_images,
+        torch_checkpoint=args.torch_checkpoint,
     )
 
 

@@ -40,7 +40,11 @@ def eval_model(
     save_images: bool = True,
     lpips_weights: str = None,
     max_images: int = MAX_VALIDATION_IMAGES,
+    torch_checkpoint: str = None,
 ):
+    """``torch_checkpoint``: path to a reference ``checkpoint.ckpt`` to
+    evaluate instead of the logdir's orbax checkpoint (migration path —
+    train/torch_compat.py)."""
     savedir = os.path.join(basedir, "validation")
     os.makedirs(savedir, exist_ok=True)
     results_file = os.path.join(savedir, "results.txt")
@@ -50,8 +54,14 @@ def eval_model(
 
     pipeline = NerfPipeline(cfg)
     state = create_train_state(cfg, pipeline, jax.random.PRNGKey(0))
-    manager = ckpt.CheckpointManager(basedir)
-    state = manager.restore(state)
+    if torch_checkpoint:
+        from ddnerf_tpu.train.torch_compat import load_torch_checkpoint
+
+        loaded = load_torch_checkpoint(torch_checkpoint)
+        state = state.replace(params=loaded["params"])
+    else:
+        manager = ckpt.CheckpointManager(basedir)
+        state = manager.restore(state)
 
     sched = ScheduleValues.for_eval(cfg)  # eval-time fixup (eval_nerf.py:53-55)
     renderer = ImageRenderer(cfg, pipeline, mode="render")
