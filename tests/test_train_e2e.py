@@ -174,3 +174,23 @@ def test_ndc_training_reduces_loss():
         if i >= 55:
             last.append(float(m["loss_fine"]))
     assert np.mean(last) < np.mean(first) * 0.8
+
+
+def test_training_is_deterministic():
+    """Same seed -> bitwise-identical training trajectory (explicit PRNG keys
+    + jit; the torch reference is only statistically reproducible)."""
+    def run():
+        cfg = smoke_cfg("DDNerfModel", iters=8)
+        train_ds, _, cfg2 = get_datasets(cfg)
+        pipe = NerfPipeline(cfg2)
+        state = create_train_state(cfg2, pipe, jax.random.PRNGKey(0))
+        store = jnp.asarray(train_ds.device_store())
+        step = jax.jit(make_train_step_from_store(cfg2, pipe))
+        losses = []
+        for _ in range(8):
+            state, m = step(state, store)
+            losses.append(float(m["loss"]))
+        return losses
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(a, b)
