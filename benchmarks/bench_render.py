@@ -9,10 +9,13 @@ Run:  python benchmarks/bench_render.py [--sizes 400 800 1920x1080]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
