@@ -194,3 +194,31 @@ def test_training_is_deterministic():
 
     a, b = run(), run()
     np.testing.assert_array_equal(a, b)
+
+
+def test_scan_step_matches_individual_steps():
+    """K scanned steps == K individual calls (up to fusion-order rounding,
+    observed ~1e-8)."""
+    from ddnerf_tpu.train.step import make_scan_train_step
+
+    cfg = smoke_cfg("DDNerfModel", iters=6)
+    train_ds, _, cfg = get_datasets(cfg)
+    pipe = NerfPipeline(cfg)
+    store = jnp.asarray(train_ds.device_store())
+
+    s1 = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    single = jax.jit(make_train_step_from_store(cfg, pipe))
+    for _ in range(6):
+        s1, m1 = single(s1, store)
+
+    s2 = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    scan6 = jax.jit(make_scan_train_step(cfg, pipe, 6))
+    s2, m2 = scan6(s2, store)
+
+    assert int(s1.step) == int(s2.step) == 6
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4),
+        s1.params, s2.params,
+    )
