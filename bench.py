@@ -63,7 +63,17 @@ def main():
     pipe = NerfPipeline(cfg)
     state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
     store = jnp.asarray(train_ds.device_store())
-    step_fn = jax.jit(make_train_step_from_store(cfg, pipe), donate_argnums=0)
+    # BENCH_SCAN=K chains K steps per dispatch (train/step.py::make_scan_...)
+    # to remove per-dispatch RPC overhead from the measurement.
+    scan_k = int(os.environ.get("BENCH_SCAN", "0"))
+    if scan_k > 1:
+        from ddnerf_tpu.train.step import make_scan_train_step
+
+        step_fn = jax.jit(make_scan_train_step(cfg, pipe, scan_k), donate_argnums=0)
+        rays_per_call = scan_k * cfg.nerf.train.num_random_rays
+    else:
+        step_fn = jax.jit(make_train_step_from_store(cfg, pipe), donate_argnums=0)
+        rays_per_call = cfg.nerf.train.num_random_rays
 
     # Warmup / compile.  Device sync is a VALUE FETCH, not block_until_ready:
     # on relayed/experimental backends the latter can return before the
@@ -80,7 +90,7 @@ def main():
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    rays_per_sec = n_iters * cfg.nerf.train.num_random_rays / dt
+    rays_per_sec = n_iters * rays_per_call / dt
 
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
