@@ -7,6 +7,9 @@ from ddnerf_tpu.eval.evaluate import eval_model
 
 
 def main():
+    from ddnerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--logdir", type=str, required=True,
                         help="Experiment logdir (contains config.yml + checkpoint).")

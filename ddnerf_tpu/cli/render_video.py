@@ -7,6 +7,9 @@ from ddnerf_tpu.render.video import render_model_video
 
 
 def main():
+    from ddnerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--logdir", type=str, required=True)
     parser.add_argument("--save_images", action="store_true")

@@ -8,6 +8,9 @@ from ddnerf_tpu.train.loop import train
 
 
 def main():
+    from ddnerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True,
                         help="Path to (.yml) config file.")
