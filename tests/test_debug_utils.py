@@ -34,3 +34,17 @@ def test_assert_finite_tree():
     assert_finite_tree({"a": jnp.ones(3)})
     with pytest.raises(AssertionError):
         assert_finite_tree({"a": jnp.asarray([1.0, np.nan])})
+
+
+def test_throughput_counter():
+    import time
+
+    from ddnerf_tpu.utils.profiling import Throughput
+
+    t = Throughput(warmup_steps=1)
+    t.step(100)  # warmup
+    time.sleep(0.05)
+    t.step(100)
+    t.step(100)
+    rate = t.rays_per_sec
+    assert rate > 0

@@ -89,3 +89,41 @@ def test_video_renderer(trained_logdir):
     render_model_video(logdir, save_images=True, max_frames=2)
     assert os.path.exists(os.path.join(logdir, "video", "video.avi"))
     assert os.path.exists(os.path.join(logdir, "video", "frame_0000.png"))
+
+
+def test_train_loop_with_depth_analysis(tmp_path):
+    """Training loop with depth_analysis_rays enabled: keypoint rays loaded,
+    per-ray distribution figures written to TB (train_model.py:232-236)."""
+    keypoints = tmp_path / "kp.yml"
+    keypoints.write_text(
+        "img_idx: 0\nresized_by: 1\n"
+        "pixels_and_depth:\n  0: [10, 12, 3.1]\n  1: [40, 40, 4.0]\n"
+    )
+    cfg = Config.from_dict(
+        {
+            "experiment": {
+                "id": "da_smoke", "logdir": str(tmp_path), "train_iters": 3,
+                "validate_every": 2, "save_every": 100, "print_every": 2,
+            },
+            "train_params": {"depth_analysis_rays": True,
+                             "depth_analysis_path": str(keypoints)},
+            "nerf": {
+                "type": "DDNerfModel",
+                "coarse_hidden_size": 16,
+                "fine_hidden_size": 16,
+                "train": {"num_coarse": 4, "num_fine": 4, "num_random_rays": 32,
+                          "radiance_field_noise_std": 0.0, "chunksize": 1024},
+                "validation": {"num_coarse": 4, "num_fine": 4, "perturb": False,
+                               "chunksize": 1024},
+            },
+            "dataset": {"type": "blender", "synthetic": True,
+                        "downsample_factor": 1, "single_image_mode": False},
+            "parallel": {"num_devices": 1},
+        }
+    ).resolved()
+    state, logdir = train(cfg, use_tensorboard=True, verbose=False)
+    assert int(state.step) == 3
+    import glob
+
+    events = glob.glob(os.path.join(logdir, "events.out.tfevents.*"))
+    assert events and os.path.getsize(events[0]) > 10000  # figures included
