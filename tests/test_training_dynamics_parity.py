@@ -1,0 +1,125 @@
+"""Training-dynamics parity: both frameworks trained from IDENTICAL initial
+weights on identical data for the same number of steps; loss trajectories
+must match statistically (RNG streams differ, so bitwise equality is not
+expected — SURVEY.md §7 'parity must be statistical').
+
+Covers what forward-parity tests cannot: gradients, Adam updates, the LR
+schedule in situ, and the coupled coarse/fine + dp-loss dynamics.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddnerf_tpu.config import Config
+from ddnerf_tpu.models.nerf import NerfPipeline
+from ddnerf_tpu.train.state import create_train_state
+from ddnerf_tpu.train.step import make_train_step
+
+from conftest import REFERENCE_PATH, reference_available
+from test_e2e_parity import _cfg_dict, _transplant
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="torch reference not available"
+)
+
+N_ITERS = 120
+N_RAYS = 64
+
+
+def _scene_rays(seed=0, n=4096):
+    """A consistent random 'scene': rays with targets derived from direction
+    (a learnable smooth function)."""
+    rng = np.random.default_rng(seed)
+    ro = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    rd = rng.standard_normal((n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    radii = np.full((n, 1), 0.01, np.float32)
+    rgb = (0.5 + 0.5 * np.stack(
+        [np.sin(3 * rd[:, 0]), np.cos(2 * rd[:, 1]), np.sin(rd[:, 2])], -1
+    )).astype(np.float32)
+    return ro, rd, radii, rgb
+
+
+@requires_reference
+def test_cotrained_loss_trajectories_match():
+    import sys
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import torch
+    from general_utils.cfgnode import CfgNode
+    from general_utils.nerf_helpers import learning_rate_decay as ref_lr
+    from models import models as ref_models
+
+    d = _cfg_dict("DDNerfModel", "llff")
+    d["nerf"]["train"]["perturb"] = True
+    d["experiment"]["train_iters"] = N_ITERS
+    d["optimizer"] = {"lr_init": 3e-3, "lr_final": 1e-3, "lr_delay_steps": 0,
+                      "lr_delay_mult": 1.0}
+
+    # ---- torch side
+    ref_cfg = CfgNode(d)
+    torch.manual_seed(0)
+    ref_model = ref_models.DDNerfModel(ref_cfg)
+    ref_model.train()
+    # Snapshot the INITIAL weights (jnp copies) before torch training
+    # mutates them in place.
+    params0 = {"coarse": _transplant(ref_model.coarse),
+               "fine": _transplant(ref_model.fine)}
+    optims = [torch.optim.Adam(ref_model.coarse.parameters(), lr=3e-3),
+              torch.optim.Adam(ref_model.fine.parameters(), lr=3e-3)]
+
+    ro, rd, radii, rgb = _scene_rays()
+    t_ro, t_rd, t_radii, t_rgb = map(torch.tensor, (ro, rd, radii, rgb))
+
+    host = np.random.default_rng(42)
+    idx_stream = [host.integers(0, len(ro), N_RAYS) for _ in range(N_ITERS)]
+
+    ref_losses = []
+    for i in range(N_ITERS):
+        lr = float(ref_lr(i, 3e-3, 1e-3, N_ITERS, 0, 1.0))
+        for opt in optims:
+            for g in opt.param_groups:
+                g["lr"] = lr
+        idx = idx_stream[i]
+        out = ref_model.run_iter(t_ro[idx], t_rd[idx], t_radii[idx],
+                                 mode="train", rgb_target=t_rgb[idx])
+        loss = (torch.nn.functional.mse_loss(out[0]["rgb"], t_rgb[idx])
+                + torch.nn.functional.mse_loss(out[1]["rgb"], t_rgb[idx])
+                + 0.1 * out[1]["dp_loss"].mean())
+        loss.backward()
+        for opt in optims:
+            opt.step()
+            opt.zero_grad()
+        ref_losses.append(float(loss))
+
+    # ---- jax side, SAME initial weights and SAME ray index stream
+    cfg = Config.from_dict(d)
+    pipe = NerfPipeline(cfg)
+    from ddnerf_tpu.train.state import make_optimizer
+
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    state = state.replace(params=params0, opt_state=tx.init(params0))
+    step = jax.jit(make_train_step(cfg, pipe))
+    jax_losses = []
+    for i in range(N_ITERS):
+        idx = idx_stream[i]
+        batch = {"origins": jnp.asarray(ro[idx]), "directions": jnp.asarray(rd[idx]),
+                 "radii": jnp.asarray(radii[idx]), "rgb": jnp.asarray(rgb[idx])}
+        state, m = step(state, batch)
+        jax_losses.append(float(m["loss"]))
+
+    ref_start, ref_end = np.mean(ref_losses[:10]), np.mean(ref_losses[-20:])
+    jax_start, jax_end = np.mean(jax_losses[:10]), np.mean(jax_losses[-20:])
+
+    # Both must learn, and end losses must agree within 35%.
+    assert ref_end < ref_start * 0.8
+    assert jax_end < jax_start * 0.8
+    assert abs(jax_end - ref_end) / ref_end < 0.35, (
+        f"trajectories diverged: torch {ref_start:.4f}->{ref_end:.4f}, "
+        f"jax {jax_start:.4f}->{jax_end:.4f}"
+    )
