@@ -16,8 +16,11 @@ import numpy as np
 
 def cast_to_disparity_image(arr: np.ndarray) -> np.ndarray:
     """Min-max normalize a scalar map to uint8 [1, H, W]
-    (reference visualization.py:11-17)."""
+    (reference visualization.py:11-17).  Empty rays (acc=0) yield NaN
+    disparity; they are mapped to 0 rather than poisoning the normalization.
+    """
     arr = np.asarray(arr, np.float32)
+    arr = np.nan_to_num(arr, nan=0.0, posinf=0.0, neginf=0.0)
     rng = arr.max() - arr.min()
     img = (arr - arr.min()) / (rng if rng > 0 else 1.0)
     img = np.clip(img, 0, 1) * 255

@@ -77,3 +77,10 @@ def test_results_txt_format(tmp_path):
     assert "average overall results" in content
     assert "psnr_fine: \t 31.0" in content
     assert "image 1 , psnr_fine" in content
+
+
+def test_disparity_cast_handles_nan():
+    disp = np.array([[1.0, np.nan], [np.inf, 2.0]], np.float32)
+    out = cast_to_disparity_image(disp)
+    assert out.dtype == np.uint8
+    assert np.isfinite(out.astype(np.float32)).all()
