@@ -27,6 +27,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Test programs are identical run-to-run; the persistent compilation cache
+# makes every suite run after the first start warm (the single-core CPU
+# otherwise spends most of the suite compiling).
+from ddnerf_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+os.environ.setdefault(
+    "DDNERF_CACHE_DIR", os.path.join("/tmp", "ddnerf_tpu_test_xla_cache")
+)
+enable_compilation_cache()
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
