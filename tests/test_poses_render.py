@@ -66,3 +66,54 @@ def test_render_pose_iterator_advances():
     for _ in range(3):
         ds.get_next_validation_rays()
     assert ds.current_idx == 1
+
+
+@requires_reference
+def test_get_ray_bundle_parity():
+    """Pixel->ray generation incl. the epsilon nudge and mip radii
+    (reference nerf_helpers.py:67-125)."""
+    import sys
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import torch
+    from general_utils.nerf_helpers import get_ray_bundle as ref_bundle
+
+    from ddnerf_tpu.core.rays import get_ray_bundle
+
+    c2w = pose_spherical(35.0, -25.0, 4.0)
+    ro, rd, radii = get_ray_bundle(12, 16, 20.0, c2w)
+    ro_t, rd_t, radii_t = ref_bundle(12, 16, 20.0, torch.tensor(c2w))
+    np.testing.assert_allclose(ro, ro_t.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(rd, rd_t.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(radii, radii_t.numpy(), rtol=1e-5, atol=1e-7)
+
+
+@requires_reference
+def test_ndc_rays_parity():
+    """NDC projection + NDC mip radii (reference dataset_helpers.py:3-42)."""
+    import sys
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import torch
+    from data_utils.dataset_helpers import ndc_mipnerf_rays as ref_ndc
+    from data_utils.dataset_helpers import switch_t_ndc_to_regular as ref_unwarp
+
+    from ddnerf_tpu.core.rays import get_ray_bundle, ndc_mipnerf_rays, switch_t_ndc_to_regular
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 1.0
+    ro, rd, _ = get_ray_bundle(12, 16, 20.0, c2w)
+    o_j, d_j, r_j = ndc_mipnerf_rays(12, 16, 20.0, ro, rd, near=1.0)
+    o_t, d_t, r_t = ref_ndc(12, 16, 20.0, torch.tensor(ro), torch.tensor(rd), 1)
+    np.testing.assert_allclose(o_j, o_t.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(d_j, d_t.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r_j, r_t.numpy(), rtol=1e-5, atol=1e-7)
+
+    depth = np.random.default_rng(0).uniform(0.1, 0.9, (12, 16)).astype(np.float32)
+    np.testing.assert_allclose(
+        switch_t_ndc_to_regular(depth, o_j, d_j),
+        ref_unwarp(torch.tensor(depth), torch.tensor(o_j), torch.tensor(d_j)).numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
