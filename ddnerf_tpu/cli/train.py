@@ -8,7 +8,17 @@ from ddnerf_tpu.train.loop import train
 
 
 def main():
+    import os
+
     from ddnerf_tpu.utils.cache import enable_compilation_cache
+
+    # Multi-host pods require jax.distributed before any backend use;
+    # auto-detected on TPU pods (opt-in: the single-host default must not
+    # try to reach a coordinator).
+    if os.environ.get("DDNERF_MULTIHOST") == "1":
+        import jax
+
+        jax.distributed.initialize()
 
     enable_compilation_cache()
     parser = argparse.ArgumentParser()
