@@ -405,3 +405,37 @@ def test_sample_pdf_mu_sigma_stochastic_distribution_parity(ref):
     h_ref, _ = np.histogram(out_ref.ravel(), bins=edges, density=True)
     h_jax, _ = np.histogram(out_jax.ravel(), bins=edges, density=True)
     np.testing.assert_allclose(h_jax, h_ref, rtol=0.15, atol=0.02)
+
+
+def test_one_hot_gather_equals_take_along_axis():
+    """Pin the one-hot-contraction optimization: for random sorted CDFs and
+    u-vectors, the einsum fetch must equal take_along_axis exactly."""
+    from ddnerf_tpu.core.sampling import _interval_index, _one_hot_of, _take
+
+    rng = np.random.default_rng(123)
+    for trial in range(5):
+        n = int(rng.integers(1, 32))
+        s = int(rng.integers(2, 40))
+        m = int(rng.integers(1, 40))
+        w = (rng.uniform(0, 1, (n, s)) ** 3 + 1e-4).astype(np.float32)
+        pdf = w / w.sum(-1, keepdims=True)
+        cdf = np.concatenate(
+            [np.zeros((n, 1), np.float32),
+             np.minimum(1.0, np.cumsum(pdf[:, :-1], -1)),
+             np.ones((n, 1), np.float32)], axis=-1,
+        )
+        u = rng.uniform(0, 0.9999, (n, m)).astype(np.float32)
+
+        ind = _interval_index(jnp.asarray(u), jnp.asarray(cdf))
+        oh = _one_hot_of(ind, cdf.shape[-1])
+        vals = rng.standard_normal((n, s + 1)).astype(np.float32)
+
+        got = jnp.einsum("...ms,...s->...m", oh, jnp.asarray(vals))
+        want = _take(jnp.asarray(vals), ind)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        # ind+1 via rolled one-hot
+        got1 = jnp.einsum("...ms,...s->...m", jnp.roll(oh, 1, axis=-1),
+                          jnp.asarray(vals))
+        want1 = _take(jnp.asarray(vals), ind + 1)
+        np.testing.assert_array_equal(np.asarray(got1), np.asarray(want1))
