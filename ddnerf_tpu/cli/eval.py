@@ -24,6 +24,10 @@ def main():
     parser.add_argument("--torch-checkpoint", type=str, default=None,
                         help="Evaluate a reference torch checkpoint.ckpt "
                              "instead of the logdir's orbax checkpoint.")
+    parser.add_argument("--checkpoint", type=int, default=None,
+                        help="Evaluate a specific retained checkpoint step "
+                             "(reference eval_nerf.py:173-178; default: "
+                             "latest).")
     args = parser.parse_args()
 
     eval_model(
@@ -33,6 +37,7 @@ def main():
         lpips_weights=args.lpips_weights,
         max_images=args.max_images,
         torch_checkpoint=args.torch_checkpoint,
+        checkpoint_step=args.checkpoint,
     )
 
 

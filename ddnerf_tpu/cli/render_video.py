@@ -14,10 +14,14 @@ def main():
     parser.add_argument("--logdir", type=str, required=True)
     parser.add_argument("--save_images", action="store_true")
     parser.add_argument("--max-frames", type=int, default=0)
+    parser.add_argument("--checkpoint", type=int, default=None,
+                        help="Render from a specific retained checkpoint "
+                             "step (default: latest).")
     args = parser.parse_args()
 
     render_model_video(args.logdir, save_images=args.save_images,
-                       max_frames=args.max_frames)
+                       max_frames=args.max_frames,
+                       checkpoint_step=args.checkpoint)
 
 
 if __name__ == "__main__":

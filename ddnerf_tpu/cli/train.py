@@ -34,9 +34,16 @@ def main():
     parser.add_argument("--debug-nans", action="store_true",
                         help="Enable jax_debug_nans: raise at the op that "
                              "produces a NaN (CI/sanitizer mode, slower).")
+    parser.add_argument("opts", nargs="*", default=[],
+                        help="Config overrides as 'dot.path value' pairs "
+                             "(reference CfgNode.merge_from_list, "
+                             "cfgnode.py:208), e.g. "
+                             "nerf.train.num_coarse 64 optimizer.lr_init 1e-3")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
+    if args.opts:
+        cfg = cfg.merge_from_list(args.opts).resolved()
     from ddnerf_tpu.utils.debug import nan_debug_mode
 
     with nan_debug_mode(args.debug_nans):

@@ -49,6 +49,10 @@ class ExperimentConfig:
     validate_every: int = 2000
     save_every: int = 2000
     print_every: int = 200
+    # Checkpoint retention.  1 = the reference's single rolling checkpoint
+    # (train_model.py:248-263); larger keeps history so eval/video can select
+    # a specific step (eval_nerf.py:173-178).
+    max_keep_ckpts: int = 1
 
 
 @dataclass(frozen=True)
@@ -254,6 +258,45 @@ class Config:
             return replace(node, **{parts[0]: rec(child, parts[1:])})
 
         return rec(self, parts)
+
+    def merge_from_list(self, opts) -> "Config":
+        """YACS-style CLI overrides: alternating ``key value`` pairs with
+        dot-separated keys (reference ``CfgNode.merge_from_list``,
+        cfgnode.py:208).  Values are YAML-parsed and coerced to the type of
+        the field they replace.  Returns a new Config.
+        """
+        if len(opts) % 2:
+            raise ValueError(f"override list must be key/value pairs: {opts}")
+        cfg = self
+        for key, raw in zip(opts[::2], opts[1::2]):
+            node = cfg
+            for part in key.split(".")[:-1]:
+                node = getattr(node, part)  # raises AttributeError on typo
+            leaf = key.split(".")[-1]
+            old = getattr(node, leaf)
+            val = yaml.safe_load(raw) if isinstance(raw, str) else raw
+            if old is not None and val is not None:
+                if isinstance(old, bool):
+                    if not isinstance(val, bool):
+                        raise ValueError(f"{key} expects a bool, got {raw!r}")
+                elif isinstance(old, float) and isinstance(val, int):
+                    val = float(val)
+                elif isinstance(old, float) and isinstance(val, str):
+                    # YAML 1.1 leaves "1e-3" (no dot) as a string.
+                    try:
+                        val = float(val)
+                    except ValueError:
+                        raise ValueError(
+                            f"{key} expects float, got {raw!r}"
+                        ) from None
+                elif isinstance(old, tuple) and isinstance(val, list):
+                    val = tuple(val)
+                elif type(val) is not type(old):
+                    raise ValueError(
+                        f"{key} expects {type(old).__name__}, got {raw!r}"
+                    )
+            cfg = cfg.replace_at(key, val)
+        return cfg
 
     def resolved(self) -> "Config":
         """Apply the derived-value rules the reference applies at startup:

@@ -41,10 +41,12 @@ def eval_model(
     lpips_weights: str = None,
     max_images: int = MAX_VALIDATION_IMAGES,
     torch_checkpoint: str = None,
+    checkpoint_step: int = None,
 ):
     """``torch_checkpoint``: path to a reference ``checkpoint.ckpt`` to
     evaluate instead of the logdir's orbax checkpoint (migration path —
-    train/torch_compat.py)."""
+    train/torch_compat.py).  ``checkpoint_step`` selects a retained orbax
+    step (reference ``--checkpoint``, eval_nerf.py:173-178); default latest."""
     savedir = os.path.join(basedir, "validation")
     os.makedirs(savedir, exist_ok=True)
     results_file = os.path.join(savedir, "results.txt")
@@ -60,8 +62,10 @@ def eval_model(
         loaded = load_torch_checkpoint(torch_checkpoint)
         state = state.replace(params=loaded["params"])
     else:
-        manager = ckpt.CheckpointManager(basedir)
-        state = manager.restore(state)
+        manager = ckpt.CheckpointManager(
+            basedir, max_to_keep=cfg.experiment.max_keep_ckpts
+        )
+        state = manager.restore(state, step=checkpoint_step)
 
     sched = ScheduleValues.for_eval(cfg)  # eval-time fixup (eval_nerf.py:53-55)
     renderer = ImageRenderer(cfg, pipeline, mode="render")

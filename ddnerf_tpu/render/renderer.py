@@ -97,14 +97,20 @@ class ImageRenderer:
             sched,
         )
 
+        # The tail chunk is padded with duplicates of the last ray; per-chunk
+        # scalars are therefore combined with valid-ray weights so the result
+        # matches the reference's concat-then-mean over rays
+        # (models.py:57-61, train_model.py:218) up to the pad duplicates.
+        valid = np.full(k, chunk, np.float64)
+        valid[-1] = n - (k - 1) * chunk
         result: Dict[int, Dict[str, np.ndarray]] = {0: {}, 1: {}}
         for i in (0, 1):
             for name in self.extract_keys:
                 if name not in out[i] or out[i][name] is None:
                     continue
                 arr = np.asarray(out[i][name])  # [k, chunk, ...] or [k]
-                if arr.ndim == 1:  # per-chunk scalar -> chunk mean
-                    result[i][name] = np.mean(arr)
+                if arr.ndim == 1:  # per-chunk scalar -> valid-weighted mean
+                    result[i][name] = np.sum(arr * valid) / n
                 else:
                     result[i][name] = arr.reshape(k * chunk, *arr.shape[2:])[:n]
         return result
@@ -172,11 +178,13 @@ class ImageRenderer:
                 if arr.ndim and arr.shape[0] != valid:
                     arr = arr[:valid]
                 arrs.append(arr)
-            # Scalars (e.g. dp_loss) are averaged over chunks — mirroring the
-            # reference's concat-then-mean (models.py:57-61,
-            # train_model.py:218).
+            # Scalars (e.g. dp_loss): valid-ray-weighted mean over chunks —
+            # the reference's concat-then-mean over rays (models.py:57-61,
+            # train_model.py:218); equal chunk weight would bias toward the
+            # padded tail chunk.
             if arrs[0].ndim == 0:
-                return np.mean(arrs)
+                valids = np.array([v for _, v in chunks], np.float64)
+                return np.sum(np.array(arrs) * valids) / np.sum(valids)
             return np.concatenate(arrs, axis=0)
 
         return {i: {k: fetch(v) for k, v in outs[i].items()} for i in outs}

@@ -24,7 +24,7 @@ from ddnerf_tpu.viz.visualization import cast_to_disparity_image, cast_to_image
 
 
 def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
-                       max_frames: int = 0):
+                       max_frames: int = 0, checkpoint_step: int = None):
     savedir = os.path.join(basedir, "video")
     os.makedirs(savedir, exist_ok=True)
 
@@ -33,7 +33,9 @@ def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
 
     pipeline = NerfPipeline(cfg)
     state = create_train_state(cfg, pipeline, jax.random.PRNGKey(0))
-    state = ckpt.CheckpointManager(basedir).restore(state)
+    state = ckpt.CheckpointManager(
+        basedir, max_to_keep=cfg.experiment.max_keep_ckpts
+    ).restore(state, step=checkpoint_step)
     sched = ScheduleValues.for_eval(cfg)
 
     # Video frames need only the fine rgb + disparity — fetching fewer maps

@@ -39,8 +39,10 @@ def load_config_snapshot(logdir: str) -> Config:
 
 
 class CheckpointManager:
-    """Thin wrapper over ocp.CheckpointManager keeping the reference's
-    single-rolling-checkpoint behavior (max_to_keep=1)."""
+    """Thin wrapper over ocp.CheckpointManager.  Default keeps the
+    reference's single-rolling-checkpoint behavior (max_to_keep=1);
+    ``experiment.max_keep_ckpts`` raises the retention so eval can pick an
+    earlier step (reference eval_nerf.py:173-178's ``--checkpoint``)."""
 
     def __init__(self, logdir: str, max_to_keep: int = 1):
         self.path = os.path.abspath(os.path.join(logdir, CKPT_DIR))
@@ -62,12 +64,23 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, abstract_state: TrainState) -> TrainState:
+    def all_steps(self):
+        return list(self._mgr.all_steps())
+
+    def restore(self, abstract_state: TrainState,
+                step: Optional[int] = None) -> TrainState:
         """Restore into the structure of ``abstract_state`` (an initialized
-        TrainState provides the pytree/sharding template)."""
-        step = self._mgr.latest_step()
+        TrainState provides the pytree/sharding template).  ``step`` selects a
+        retained checkpoint (default: latest)."""
         if step is None:
-            raise FileNotFoundError(f"no checkpoint under {self.path}")
+            step = self._mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoint under {self.path}")
+        elif step not in self._mgr.all_steps():
+            raise FileNotFoundError(
+                f"checkpoint step {step} not under {self.path}; "
+                f"available: {sorted(self._mgr.all_steps())}"
+            )
         shapes = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, abstract_state
         )

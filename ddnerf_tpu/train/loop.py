@@ -62,7 +62,9 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
 
         mesh = make_mesh(cfg.parallel.num_devices)
 
-    manager = ckpt.CheckpointManager(logdir)
+    manager = ckpt.CheckpointManager(
+        logdir, max_to_keep=cfg.experiment.max_keep_ckpts
+    )
     if load_checkpoint:
         other = ckpt.CheckpointManager(load_checkpoint) \
             if os.path.isdir(os.path.join(load_checkpoint, ckpt.CKPT_DIR)) else manager

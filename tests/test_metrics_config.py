@@ -156,3 +156,44 @@ def test_own_config_files_load():
     for f in files:
         cfg = Config.from_yaml(f).resolved()
         assert cfg.nerf.type in ("DDNerfModel", "GeneralMipNerfModel"), f
+
+
+# ------------------------------------------------- CLI config overrides
+
+
+def test_merge_from_list_basic():
+    """YACS-style `key value` override pairs (cfgnode.py:208)."""
+    cfg = Config()
+    out = cfg.merge_from_list(
+        ["nerf.train.num_coarse", "64",
+         "optimizer.lr_init", "1e-3",
+         "dataset.type", "llff",
+         "nerf.validation.perturb", "true",
+         "train_params.loss_coeficients", "[0.5, 2.0]"]
+    )
+    assert out.nerf.train.num_coarse == 64
+    assert out.optimizer.lr_init == pytest.approx(1e-3)
+    assert out.dataset.type == "llff"
+    assert out.nerf.validation.perturb is True
+    assert out.train_params.loss_coeficients == (0.5, 2.0)
+    # original untouched (frozen dataclasses)
+    assert cfg.nerf.train.num_coarse == 32
+
+
+def test_merge_from_list_rejects_bad_input():
+    cfg = Config()
+    with pytest.raises(ValueError):
+        cfg.merge_from_list(["nerf.train.num_coarse"])  # odd length
+    with pytest.raises(ValueError):
+        cfg.merge_from_list(["nerf.train.num_coarse", "not_an_int"])
+    with pytest.raises(AttributeError):
+        cfg.merge_from_list(["nerf.train.no_such_key", "1"])
+    with pytest.raises(ValueError):
+        cfg.merge_from_list(["nerf.validation.perturb", "3"])  # bool field
+
+
+def test_merge_from_list_int_to_float_coercion():
+    cfg = Config()
+    out = cfg.merge_from_list(["optimizer.lr_init", "1"])
+    assert out.optimizer.lr_init == 1.0
+    assert isinstance(out.optimizer.lr_init, float)
