@@ -143,9 +143,113 @@ def read_points3d_binary(path: str) -> Dict[int, Point3D]:
     return points
 
 
-def read_model(sparse_dir: str):
-    """Read a COLMAP sparse model directory (binary format)."""
-    cameras = read_cameras_binary(os.path.join(sparse_dir, "cameras.bin"))
-    images = read_images_binary(os.path.join(sparse_dir, "images.bin"))
-    points = read_points3d_binary(os.path.join(sparse_dir, "points3D.bin"))
-    return cameras, images, points
+# --------------------------------------------------------------------------
+# Text format.  One record per line ('#' comments skipped); images use two
+# lines per record.  Same dispatch surface as the reference's read_model
+# (colmap_read_model.py:260-270), which falls back to .txt models.
+# --------------------------------------------------------------------------
+
+
+def _data_lines(path: str):
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                yield line
+
+
+def read_cameras_text(path: str) -> Dict[int, Camera]:
+    """cameras.txt: CAMERA_ID MODEL WIDTH HEIGHT PARAMS[]"""
+    cameras = {}
+    for line in _data_lines(path):
+        toks = line.split()
+        cam_id = int(toks[0])
+        cameras[cam_id] = Camera(
+            cam_id, toks[1], int(toks[2]), int(toks[3]),
+            np.array(toks[4:], dtype=np.float64),
+        )
+    return cameras
+
+
+def read_images_text(path: str) -> Dict[int, Image]:
+    """images.txt: two lines per image —
+    IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME
+    then (X Y POINT3D_ID)*.  The track line is EMPTY for an image with no
+    observations, so blank lines only count as data after a header line."""
+    images = {}
+    head = None
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if head is None:
+                if not line or line.startswith("#"):
+                    continue
+                head = line
+                continue
+            track = line
+            toks = head.split()
+            head = None
+            image_id = int(toks[0])
+            flat = np.array(track.split(), dtype=np.float64).reshape(-1, 3)
+            images[image_id] = Image(
+                image_id,
+                np.array(toks[1:5], dtype=np.float64),
+                np.array(toks[5:8], dtype=np.float64),
+                int(toks[8]),
+                toks[9],
+                flat[:, :2].copy(),
+                flat[:, 2].astype(np.int64),
+            )
+    if head is not None:
+        raise ValueError(f"images.txt truncated: dangling header in {path}")
+    return images
+
+
+def read_points3d_text(path: str) -> Dict[int, Point3D]:
+    """points3D.txt: POINT3D_ID X Y Z R G B ERROR (IMAGE_ID POINT2D_IDX)*"""
+    points = {}
+    for line in _data_lines(path):
+        toks = line.split()
+        pid = int(toks[0])
+        track = np.array(toks[8:], dtype=np.int64).reshape(-1, 2)
+        points[pid] = Point3D(
+            pid,
+            np.array(toks[1:4], dtype=np.float64),
+            np.array(toks[4:7], dtype=np.uint8),
+            float(toks[7]),
+            track[:, 0].copy(),
+            track[:, 1].copy(),
+        )
+    return points
+
+
+def detect_model_format(sparse_dir: str) -> str:
+    """'.bin' if a binary model is present, else '.txt'; error if neither."""
+    for ext in (".bin", ".txt"):
+        if all(
+            os.path.isfile(os.path.join(sparse_dir, name + ext))
+            for name in ("cameras", "images", "points3D")
+        ):
+            return ext
+    raise FileNotFoundError(
+        f"no COLMAP model (cameras/images/points3D .bin or .txt) in {sparse_dir}"
+    )
+
+
+def read_model(sparse_dir: str, ext: str = ""):
+    """Read a COLMAP sparse model directory, binary or text
+    (reference colmap_read_model.py:260-270 dispatches the same way;
+    ``ext`` empty = auto-detect, preferring binary)."""
+    ext = ext or detect_model_format(sparse_dir)
+    join = lambda name: os.path.join(sparse_dir, name + ext)
+    if ext == ".bin":
+        return (
+            read_cameras_binary(join("cameras")),
+            read_images_binary(join("images")),
+            read_points3d_binary(join("points3D")),
+        )
+    return (
+        read_cameras_text(join("cameras")),
+        read_images_text(join("images")),
+        read_points3d_text(join("points3D")),
+    )

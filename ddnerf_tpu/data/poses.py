@@ -89,13 +89,13 @@ def gen_poses(basedir: str):
     reference likewise refuses to *run* COLMAP itself
     (pose_utils.py:152-169)."""
     sparse = os.path.join(basedir, "sparse/0")
-    needed = {"cameras.bin", "images.bin", "points3D.bin"}
-    have = set(os.listdir(sparse)) if os.path.isdir(sparse) else set()
-    if not needed.issubset(have):
+    try:
+        colmap.detect_model_format(sparse)  # binary or text model
+    except FileNotFoundError as e:
         raise FileNotFoundError(
-            f"{basedir}: COLMAP output missing ({needed - have}); run COLMAP "
+            f"{basedir}: COLMAP output missing ({e}); run COLMAP "
             "first — automatic reconstruction is out of scope"
-        )
+        ) from None
     poses, pts3d, perm = load_colmap_data(basedir)
     save_poses(basedir, poses, pts3d, perm)
 

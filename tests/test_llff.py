@@ -172,3 +172,113 @@ def test_full_dataset_assembly_llff_ndc(llff_dir):
     assert np.abs(ro[:, 2]).max() <= 1.0 + 1e-5
     ro_v, rd_v, radii_v, gt = val_ds.get_next_validation_rays()
     assert gt.shape == (24, 32, 3)
+
+
+# ------------------------------------------------------- text-format model
+
+
+def write_colmap_model_text(sparse_dir, w2c_list, points, width=64, height=48,
+                            focal=60.0):
+    """Same scene as write_colmap_model, in COLMAP's text format."""
+    os.makedirs(sparse_dir, exist_ok=True)
+
+    with open(os.path.join(sparse_dir, "cameras.txt"), "w") as f:
+        f.write("# Camera list with one line of data per camera:\n")
+        f.write(f"1 SIMPLE_PINHOLE {width} {height} {focal} {width/2} {height/2}\n")
+
+    with open(os.path.join(sparse_dir, "images.txt"), "w") as f:
+        f.write("# Image list with two lines of data per image:\n")
+        for i, (R, t) in enumerate(w2c_list):
+            q = _rotmat2qvec(R)
+            vals = " ".join(f"{v:.17g}" for v in list(q) + list(t))
+            f.write(f"{i+1} {vals} 1 img_{i:03d}.png\n")
+            f.write(" ".join(f"1 1 {j+1}" for j in range(len(points))) + "\n")
+
+    with open(os.path.join(sparse_dir, "points3D.txt"), "w") as f:
+        f.write("# 3D point list with one line of data per point:\n")
+        for j, xyz in enumerate(points):
+            coords = " ".join(f"{v:.17g}" for v in xyz)
+            track = " ".join(f"{i+1} {j}" for i in range(len(w2c_list)))
+            f.write(f"{j+1} {coords} 128 128 128 0.5 {track}\n")
+
+
+def test_colmap_text_reader_matches_binary(llff_dir, tmp_path):
+    """The text readers parse the same scene to the same model as the binary
+    readers (reference colmap_read_model.py:82-137 text fallback)."""
+    rng = np.random.default_rng(3)
+    n = 3
+    w2c_list = []
+    for i in range(n):
+        # random rotation via QR
+        q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        w2c_list.append((q, rng.standard_normal(3)))
+    points = rng.uniform(-2, 2, (7, 3))
+
+    bin_dir = str(tmp_path / "bin_model")
+    txt_dir = str(tmp_path / "txt_model")
+    write_colmap_model(bin_dir, w2c_list, points)
+    write_colmap_model_text(txt_dir, w2c_list, points)
+
+    assert colmap.detect_model_format(bin_dir) == ".bin"
+    assert colmap.detect_model_format(txt_dir) == ".txt"
+
+    cams_b, imgs_b, pts_b = colmap.read_model(bin_dir)
+    cams_t, imgs_t, pts_t = colmap.read_model(txt_dir)
+
+    assert cams_b.keys() == cams_t.keys()
+    for k in cams_b:
+        assert cams_b[k].model == cams_t[k].model == "SIMPLE_PINHOLE"
+        assert (cams_b[k].width, cams_b[k].height) == (
+            cams_t[k].width, cams_t[k].height)
+        np.testing.assert_allclose(cams_b[k].params, cams_t[k].params)
+
+    assert imgs_b.keys() == imgs_t.keys()
+    for k in imgs_b:
+        np.testing.assert_allclose(imgs_b[k].qvec, imgs_t[k].qvec, atol=1e-15)
+        np.testing.assert_allclose(imgs_b[k].tvec, imgs_t[k].tvec, atol=1e-15)
+        assert imgs_b[k].name == imgs_t[k].name
+        assert imgs_b[k].camera_id == imgs_t[k].camera_id
+        np.testing.assert_array_equal(imgs_b[k].point3d_ids,
+                                      imgs_t[k].point3d_ids)
+        np.testing.assert_allclose(imgs_b[k].xys, imgs_t[k].xys)
+
+    assert pts_b.keys() == pts_t.keys()
+    for k in pts_b:
+        np.testing.assert_allclose(pts_b[k].xyz, pts_t[k].xyz, atol=1e-15)
+        np.testing.assert_array_equal(pts_b[k].rgb, pts_t[k].rgb)
+        assert pts_b[k].error == pts_t[k].error
+        np.testing.assert_array_equal(pts_b[k].image_ids, pts_t[k].image_ids)
+        np.testing.assert_array_equal(pts_b[k].point2d_idxs,
+                                      pts_t[k].point2d_idxs)
+
+
+def test_colmap_text_empty_track_line(tmp_path):
+    """COLMAP writes an EMPTY observations line for an image with no 2D
+    points; the two-line pairing must survive it."""
+    d = str(tmp_path)
+    with open(os.path.join(d, "images.txt"), "w") as f:
+        f.write("# comment\n")
+        f.write("5 1 0 0 0 0.5 -1 2 1 foo.png\n")
+        f.write("\n")  # zero observations
+        f.write("6 1 0 0 0 0 0 0 1 bar.png\n")
+        f.write("2.0 3.0 -1\n")
+    imgs = colmap.read_images_text(os.path.join(d, "images.txt"))
+    assert imgs[5].name == "foo.png"
+    assert imgs[5].xys.shape == (0, 2)
+    assert imgs[6].point3d_ids.tolist() == [-1]
+    np.testing.assert_allclose(imgs[6].xys, [[2.0, 3.0]])
+
+
+def test_colmap_text_truncated_raises(tmp_path):
+    d = str(tmp_path)
+    with open(os.path.join(d, "images.txt"), "w") as f:
+        f.write("5 1 0 0 0 0.5 -1 2 1 foo.png\n")  # header, no track line
+    with pytest.raises(ValueError):
+        colmap.read_images_text(os.path.join(d, "images.txt"))
+
+
+def test_read_model_missing_dir(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        colmap.read_model(str(tmp_path / "nope_model"))
