@@ -53,6 +53,13 @@ class ExperimentConfig:
     # (train_model.py:248-263); larger keeps history so eval/video can select
     # a specific step (eval_nerf.py:173-178).
     max_keep_ckpts: int = 1
+    # Train-scalar density in TB/metrics.jsonl.  0 = one point per
+    # ``print_every`` (cheapest).  N >= 1 = a point every N iterations; the
+    # reference writes EVERY iteration (documentation.py:11-26), which is
+    # ``train_scalars_every: 1``.  With the device-resident ray store this is
+    # near-free: steps run in lax.scan blocks that stack per-step scalars on
+    # device and flush once per ``print_every`` (no per-step host sync).
+    train_scalars_every: int = 0
 
 
 @dataclass(frozen=True)

@@ -58,71 +58,70 @@ def pose_spherical_for_real_world_360(theta, phi, radius, dataset_name=None):
     return flip @ c2w
 
 
-def load_blender_data(basedir, half_res=False, testskip=1, debug=False):
-    """Returns (images [N,H,W,4] float32, poses [N,4,4], render_poses,
-    [H, W, focal], i_split) — same contract as load_blender.py:68-145."""
+_SPLITS = ("train", "val", "test")
+
+
+def _read_split(basedir: str, split: str, testskip: int):
+    """Load one split's frames: (images [n,H,W,4] float in [0,1],
+    poses [n,4,4], camera_angle_x)."""
     import imageio.v2 as imageio
 
-    splits = ["train", "val", "test"]
-    metas = {}
-    for s in splits:
-        with open(os.path.join(basedir, f"transforms_{s}.json"), "r") as fp:
-            metas[s] = json.load(fp)
+    with open(os.path.join(basedir, f"transforms_{split}.json")) as fp:
+        meta = json.load(fp)
 
-    all_imgs, all_poses, counts = [], [], [0]
-    for s in splits:
-        meta = metas[s]
-        skip = 1 if (s == "train" or testskip == 0) else testskip
-        imgs, poses = [], []
-        for frame in meta["frames"][::skip]:
-            fname = os.path.join(basedir, frame["file_path"] + ".png")
-            imgs.append(imageio.imread(fname))
-            poses.append(np.array(frame["transform_matrix"]))
-        imgs = (np.array(imgs) / 255.0).astype(np.float32)
-        poses = np.array(poses).astype(np.float32)
-        counts.append(counts[-1] + imgs.shape[0])
-        all_imgs.append(imgs)
-        all_poses.append(poses)
+    stride = testskip if (split != "train" and testskip > 0) else 1
+    frames = meta["frames"][::stride]
+    images = np.stack(
+        [imageio.imread(os.path.join(basedir, f["file_path"] + ".png"))
+         for f in frames]
+    ).astype(np.float32) / 255.0
+    poses = np.stack(
+        [np.asarray(f["transform_matrix"], np.float32) for f in frames]
+    )
+    return images, poses, float(meta["camera_angle_x"])
 
-    i_split = [np.arange(counts[i], counts[i + 1]) for i in range(3)]
-    imgs = np.concatenate(all_imgs, 0)
-    poses = np.concatenate(all_poses, 0)
 
-    H, W = imgs[0].shape[:2]
-    camera_angle_x = float(metas["train"]["camera_angle_x"])
-    focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
+def _resize_stack(images: np.ndarray, dsize) -> np.ndarray:
+    """Area-resample every image to ``dsize`` (cv2 wants (W, H))."""
+    import cv2
 
-    render_poses = np.stack(
-        [
-            pose_spherical(angle, -30.0, 4.0)
-            for angle in np.linspace(-180, 180, 181)[:-1]
-        ]
+    return np.stack(
+        [cv2.resize(img, dsize=dsize, interpolation=cv2.INTER_AREA)
+         for img in images]
     )
 
-    if debug:
-        # Tiny-image smoke mode (load_blender.py:115-128).
-        import cv2
 
-        H, W = H // 32, W // 32
-        focal = focal / 32.0
-        imgs = np.stack(
-            [
-                cv2.resize(imgs[i], dsize=(25, 25), interpolation=cv2.INTER_AREA)
-                for i in range(imgs.shape[0])
-            ]
-        )
-        return imgs, poses, render_poses, [H, W, focal], i_split
+def load_blender_data(basedir, half_res=False, testskip=1, debug=False):
+    """Returns (images [N,H,W,4] float32, poses [N,4,4], render_poses,
+    [H, W, focal], i_split) — same contract as load_blender.py:68-145.
+
+    Fixes the reference's half-res quirk of resizing to a hardcoded 400x400
+    (load_blender.py:134-140) by using the actual W//2 x H//2.
+    """
+    per_split = [_read_split(basedir, s, testskip) for s in _SPLITS]
+
+    edges = np.cumsum([0] + [imgs.shape[0] for imgs, _, _ in per_split])
+    i_split = [np.arange(lo, hi) for lo, hi in zip(edges[:-1], edges[1:])]
+    imgs = np.concatenate([s[0] for s in per_split], axis=0)
+    poses = np.concatenate([s[1] for s in per_split], axis=0)
+
+    H, W = imgs.shape[1:3]
+    camera_angle_x = per_split[0][2]
+    focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
+
+    # 360° orbit at -30° elevation, radius 4 — the standard blender demo path.
+    orbit = np.linspace(-180, 180, 181)[:-1]
+    render_poses = np.stack([pose_spherical(a, -30.0, 4.0) for a in orbit])
+
+    if debug:
+        # Tiny-image smoke mode (load_blender.py:115-128): 25x25 images with
+        # intrinsics scaled as if //32.
+        scale = 32
+        imgs = _resize_stack(imgs, (25, 25))
+        return imgs, poses, render_poses, [H // scale, W // scale, focal / scale], i_split
 
     if half_res:
-        import cv2
-
-        H, W = H // 2, W // 2
-        focal = focal / 2.0
-        imgs = np.stack(
-            [
-                cv2.resize(imgs[i], dsize=(W, H), interpolation=cv2.INTER_AREA)
-                for i in range(imgs.shape[0])
-            ]
-        )
+        H, W, focal = H // 2, W // 2, focal / 2.0
+        imgs = _resize_stack(imgs, (W, H))
 
     return imgs, poses, render_poses, [H, W, focal], i_split

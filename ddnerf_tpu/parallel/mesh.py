@@ -76,17 +76,109 @@ def make_sharded_train_step(cfg: Config, pipeline, mesh: Mesh):
     )
 
 
-def make_sharded_store_train_step(cfg: Config, pipeline, mesh: Mesh):
-    """Device-store variant: the ray store is replicated (it is read-only and
-    gathered randomly; replication avoids an all-gather per step), state
-    replicated, sampling + compute sharded by XLA's SPMD partitioner."""
-    from ddnerf_tpu.train.step import make_train_step_from_store
+def make_sharded_store_sampler(mesh: Mesh, num_rays: int,
+                               single_image_mode: bool):
+    """Per-shard in-step batch sampler over a pixel-axis-sharded ray store.
 
-    step_fn = make_train_step_from_store(cfg, pipeline)
+    Returns ``sample(store, rng) -> rows`` where ``store`` is the global
+    ``[n_img, n_pix, 10]`` array sharded ``P(None, data)`` and ``rows`` is a
+    ``[num_rays, 10]`` ray-sharded batch: each device draws its
+    ``num_rays/D`` rows from its resident pixel block (no collective).
+
+    In ``single_image_mode`` the image key is shared (NOT folded with the
+    device index) so every device samples the same image — the reference's
+    all-rays-of-one-image semantics (dataset.py:50-55) survive sharding.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    if num_rays % n_dev:
+        raise ValueError(
+            f"num_random_rays={num_rays} must be divisible by the mesh width "
+            f"{n_dev} for per-shard sampling"
+        )
+    per_dev = num_rays // n_dev
+
+    def sample_local(store_shard, rng):
+        # store_shard: this device's [n_img, n_pix/D, 10] block.
+        r_img, r_idx = jax.random.split(rng)
+        r_idx = jax.random.fold_in(r_idx, jax.lax.axis_index(axis))
+        n_img, n_pix_local, _ = store_shard.shape
+        if single_image_mode:
+            img = jax.random.randint(r_img, (), 0, n_img)
+            idx = jax.random.randint(r_idx, (per_dev,), 0, n_pix_local)
+            rows = store_shard[img, idx]
+        else:
+            flat = jax.random.randint(r_idx, (per_dev,), 0, n_img * n_pix_local)
+            rows = store_shard.reshape(n_img * n_pix_local, -1)[flat]
+        return rows
+
+    return jax.shard_map(
+        sample_local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+
+def make_sharded_store_train_step(cfg: Config, pipeline, mesh: Mesh,
+                                  stack_steps: int = 0):
+    """Train step over a **pixel-axis-sharded** ray store.
+
+    Each device holds a 1/D pixel-slice of every image
+    (:func:`ddnerf_tpu.parallel.distributed.store_sharding`) and, inside the
+    jitted step, samples its 1/D of the ray batch from that resident shard
+    under ``shard_map`` — so per-chip HBM for the store is ``total/D`` and
+    **no collective touches ray data**.  The only cross-device traffic per
+    step is the gradient ``psum`` XLA inserts from the replicated-params /
+    ray-sharded-batch layout (ICI-resident on a real slice).
+
+    Sampling semantics vs the reference (dataset.py:50-59):
+
+    * normal mode — each device draws uniformly from its pixel columns;
+      the union is stratified-uniform over pixel-column blocks, statistically
+      equivalent to global uniform sampling;
+    * ``single_image_mode`` — the image index comes from a key that is NOT
+      folded with the device index, so all devices pick the SAME image and
+      the batch is all-rays-of-one-image exactly like the reference.
+    """
+    from ddnerf_tpu.parallel.distributed import store_sharding
+    from ddnerf_tpu.train.step import make_train_step
+
+    inner = make_train_step(cfg, pipeline)
+    sample_sharded = make_sharded_store_sampler(
+        mesh, cfg.nerf.train.num_random_rays, cfg.dataset.single_image_mode
+    )
+
+    def step(state, store):
+        rng = jax.random.fold_in(
+            jax.random.fold_in(state.rng, state.step), 0x5A17
+        )
+        rows = sample_sharded(store, rng)
+        batch = {
+            "origins": rows[:, 0:3],
+            "directions": rows[:, 3:6],
+            "radii": rows[:, 6:7],
+            "rgb": rows[:, 7:10],
+        }
+        return inner(state, batch)
+
+    if stack_steps:
+        # ``stack_steps`` steps per dispatch with per-step scalars stacked
+        # [stack_steps] on device (device-buffered observability — see
+        # train.step.make_stacked_train_step_from_store).
+        single = step
+
+        def step(state, store):  # noqa: F811 — scan wrapper over `single`
+            def body(carry, _):
+                return single(carry, store)
+
+            return jax.lax.scan(body, state, None, length=stack_steps)
+
     repl = replicated(mesh)
     return jax.jit(
-        step_fn,
-        in_shardings=(repl, repl),
+        step,
+        in_shardings=(repl, store_sharding(mesh)),
         out_shardings=(repl, repl),
         donate_argnums=0 if cfg.parallel.donate_state else (),
     )

@@ -80,21 +80,30 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
         ) % len(val_ds)
 
     # ---- jitted step.  Default: device-resident ray store with in-step
-    # sampling.  Datasets too large for HBM (> ~6 GB of rays) fall back to
-    # host-side sampling + per-step transfer (the reference's only mode).
+    # sampling.  On a mesh the store is sharded over the pixel axis, so the
+    # per-chip footprint is total/D and grows datasets scale out with the
+    # pod (parallel/distributed.py).  Only datasets whose *per-chip* share
+    # exceeds ~6 GB fall back to host-side sampling + per-step transfer
+    # (the reference's only mode).
     host_store = train_ds.device_store()
-    use_device_store = host_store.nbytes < 6 * 1024**3
+    n_store_shards = int(mesh.devices.size) if mesh is not None else 1
+    use_device_store = host_store.nbytes / n_store_shards < 6 * 1024**3
     if use_device_store:
-        store = jnp.asarray(host_store)
         if mesh is not None:
+            from ddnerf_tpu.parallel import distributed as dist
             from ddnerf_tpu.parallel.mesh import make_sharded_store_train_step
 
+            # Multi-process: every host feeds only its pixel block; the
+            # assembled array is globally [n_img, n_pix_padded, 10].
+            store = dist.build_sharded_store(mesh, host_store)
             step_fn = make_sharded_store_train_step(cfg, pipeline, mesh)
         else:
+            store = jnp.asarray(host_store)
             step_fn = jax.jit(
                 make_train_step_from_store(cfg, pipeline),
                 donate_argnums=0 if cfg.parallel.donate_state else (),
             )
+        del host_store
     else:
         del host_store
         host_rng = np.random.default_rng(cfg.experiment.randomseed)
@@ -130,85 +139,194 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
         extract += ["weights", "mus", "sigmas", "smoothed_sigmas", "dp_loss"]
     renderer = ImageRenderer(cfg, pipeline, mesh, extract_keys=tuple(extract))
 
-    if cfg.train_params.depth_analysis_rays:
-        da = val_ds.load_depth_analysis_rays(cfg)
-        da_origins, da_directions, da_rad, da_depth, da_rgb = da
-
     total_iters = max_iters or cfg.experiment.train_iters
     start = int(state.step)
     t_start = time.time()
     metrics = {}
 
-    for i in range(start, total_iters):
-        if profile_steps and i == start + 2:  # skip compile + first dispatch
-            from ddnerf_tpu.utils.profiling import trace as profiler_trace
+    _run_validation_cb = _make_validation_cb(
+        cfg, doc, renderer, val_ds, verbose,
+        cfg.train_params.depth_analysis_rays, pipeline,
+    )
 
-            with profiler_trace(logdir):
-                for _ in range(profile_steps):
-                    state, metrics = step_fn(state, store)
-                jax.block_until_ready(metrics["loss"])
-            profile_steps = 0
-        state, metrics = step_fn(state, store)
+    scalars_every = cfg.experiment.train_scalars_every
+    # Device-buffered per-iteration scalars: run print_every-sized lax.scan
+    # blocks that stack every step's metrics on device, flushed in one fetch
+    # (reference-density TB curves, documentation.py:11-26, at ~zero cost).
+    block_mode = use_device_store and scalars_every >= 1
 
-        if i % cfg.experiment.print_every == 0 or i == total_iters - 1:
-            m = {k: float(v) for k, v in metrics.items()}
-            # rays/sec is the north-star throughput metric (SURVEY.md §5);
-            # recorded alongside the training scalars.
-            rate = (i - start + 1) * cfg.nerf.train.num_random_rays / (
-                time.time() - t_start
+    def train_rate(iters_done: int) -> float:
+        # rays/sec is the north-star throughput metric (SURVEY.md §5).
+        return iters_done * cfg.nerf.train.num_random_rays / (
+            time.time() - t_start
+        )
+
+    def print_train(i, m, rate):
+        if verbose:
+            print(
+                f"[TRAIN] iter {i} loss {m['loss']:.4f} "
+                f"psnr {m['psnr_fine']:.2f} lr {m['lr']:.2e} "
+                f"({rate:,.0f} rays/s)"
             )
-            m["rays_per_sec"] = rate
-            if verbose:
-                print(
-                    f"[TRAIN] iter {i} loss {m['loss']:.4f} "
-                    f"psnr {m['psnr_fine']:.2f} lr {m['lr']:.2e} "
-                    f"({rate:,.0f} rays/s)"
+
+    def is_event(i, every):
+        return i % every == 0 or i == total_iters - 1
+
+    if not block_mode:
+        for i in range(start, total_iters):
+            if profile_steps and i == start + 2:  # skip compile + dispatch
+                from ddnerf_tpu.utils.profiling import trace as profiler_trace
+
+                with profiler_trace(logdir):
+                    for _ in range(profile_steps):
+                        state, metrics = step_fn(state, store)
+                    jax.block_until_ready(metrics["loss"])
+                profile_steps = 0
+            state, metrics = step_fn(state, store)
+
+            if is_event(i, cfg.experiment.print_every):
+                m = {k: float(v) for k, v in metrics.items()}
+                rate = train_rate(i - start + 1)
+                m["rays_per_sec"] = rate
+                print_train(i, m, rate)
+                doc.write_train_iter(
+                    i, m, extra_scalars={"train/rays_per_sec": rate}
                 )
-            doc.write_train_iter(i, m, extra_scalars={"train/rays_per_sec": rate})
+            elif scalars_every >= 1 and i % scalars_every == 0:
+                # Host-sampling fallback honors the density knob too, at the
+                # cost of a per-write device fetch (the device-store path
+                # buffers these on device instead — see block driver below).
+                doc.write_train_iter(i, {k: float(v) for k, v in metrics.items()})
+            if is_event(i, cfg.experiment.validate_every):
+                state = _run_validation_cb(i, state)
+            if i > 0 and is_event(i, cfg.experiment.save_every):
+                manager.save(state)
+    else:
+        from ddnerf_tpu.train.step import make_stacked_train_step_from_store
 
-        # ------------------------------------------------------ validation
-        if i % cfg.experiment.validate_every == 0 or i == total_iters - 1:
-            t_val = time.time()
-            sched = schedule_values(cfg, state.step)
-            ro, rd, radii, gt = val_ds.get_next_validation_rays()
-            out = renderer.render_image(state.params, ro, rd, radii, sched=sched)
+        if mesh is not None:
+            from ddnerf_tpu.parallel.mesh import make_sharded_store_train_step
 
-            vm = _validation_metrics(cfg, out, gt)
-            if cfg.dataset.ndc_rays:
-                ro_reg, rd_reg, _ = val_ds.get_current_regular_validation_rays()
-                for j in (0, 1):
-                    out[j]["depth"] = switch_t_ndc_to_regular(
-                        out[j]["depth"], ro_reg, rd_reg
+            def make_block(k):
+                return make_sharded_store_train_step(
+                    cfg, pipeline, mesh, stack_steps=k
+                )
+        else:
+
+            def make_block(k):
+                return jax.jit(
+                    make_stacked_train_step_from_store(cfg, pipeline, k),
+                    donate_argnums=0 if cfg.parallel.donate_state else (),
+                )
+
+        blocks = {}
+
+        def run_block(state, k):
+            if k not in blocks:
+                blocks[k] = make_block(k)
+            return blocks[k](state, store)
+
+        def next_boundary(i):
+            """Last iteration of the block starting at ``i``: the nearest
+            event iteration (print / validate / save / final), so every
+            event still sees the exact post-step state."""
+            ends = [total_iters - 1]
+            for every in (cfg.experiment.print_every,
+                          cfg.experiment.validate_every,
+                          cfg.experiment.save_every):
+                ends.append(i if i % every == 0 else i + every - i % every)
+            return min(ends)
+
+        i = start
+        profiled = False
+        while i < total_iters:
+            k = next_boundary(i) - i + 1
+            state, stacked = run_block(state, k)
+            if profile_steps and not profiled and i > start:
+                # Warm by now (first block compiled+ran); trace one block of
+                # profile_steps.  Like the per-iter driver, the profiled
+                # steps advance state.step but not the loop counter.
+                from ddnerf_tpu.utils.profiling import trace as profiler_trace
+
+                state, _ps = run_block(state, profile_steps)  # compile first
+                with profiler_trace(logdir):
+                    state, _ps = run_block(state, profile_steps)
+                    jax.block_until_ready(_ps["loss"])
+                profiled = True
+            last = i + k - 1
+
+            # One fetch for the whole block, then per-iter scalar writes.
+            mh = {name: np.asarray(v) for name, v in stacked.items()}
+            rate = train_rate(last - start + 1)
+            for j in range(k):
+                it = i + j
+                if it % scalars_every == 0 or it == total_iters - 1:
+                    doc.write_train_iter(
+                        it, {name: float(v[j]) for name, v in mh.items()},
+                        extra_scalars={"train/rays_per_sec": rate}
+                        if it == last else None,
                     )
-            if cfg.is_ddnerf() and "weights" in out[0]:
-                w = out[0]["weights"].reshape(-1, out[0]["weights"].shape[-1])
-                pdf = w / np.maximum(w.sum(-1, keepdims=True), 1e-12)
-                mask = pdf > 0.1
-                for key in ("mus", "sigmas", "smoothed_sigmas"):
-                    flat = out[0][key].reshape(-1, pdf.shape[-1])
-                    out[0][f"{key}_hist"] = flat[mask]
-            doc.write_valid_iter(i, vm, out, gt, cfg.is_ddnerf())
-
-            if cfg.train_params.depth_analysis_rays:
-                da_out = run_depth_analysis(
-                    cfg, pipeline, state.params, da_origins, da_directions,
-                    da_rad, sched,
-                )
-                doc.write_depth_analysis_rays(
-                    i, da_out, da_depth, cfg.dataset.near, cfg.dataset.far
-                )
-            if verbose:
-                print(
-                    f"[VAL] iter {i} loss {vm['loss']:.4f} "
-                    f"psnr {vm['psnr_fine']:.2f} time {time.time()-t_val:.1f}s"
-                )
-
-        if i > 0 and (i % cfg.experiment.save_every == 0 or i == total_iters - 1):
-            manager.save(state)
+            if is_event(last, cfg.experiment.print_every):
+                print_train(last, {n: float(v[-1]) for n, v in mh.items()}, rate)
+            if is_event(last, cfg.experiment.validate_every):
+                state = _run_validation_cb(last, state)
+            if last > 0 and is_event(last, cfg.experiment.save_every):
+                manager.save(state)
+            i = last + 1
 
     manager.wait()
     doc.close()
     return state, logdir
+
+
+def _make_validation_cb(cfg, doc, renderer, val_ds, verbose,
+                        depth_analysis, pipeline):
+    """Builds the per-event validation callback shared by both loop drivers:
+    whole-image render, metrics, NDC depth un-warp, DD histograms,
+    depth-analysis figures (train_model.py:196-246)."""
+    da_origins = da_directions = da_rad = da_depth = None
+    if depth_analysis:
+        da = val_ds.load_depth_analysis_rays(cfg)
+        da_origins, da_directions, da_rad, da_depth, _da_rgb = da
+
+    def run_validation(i, state):
+        t_val = time.time()
+        sched = schedule_values(cfg, state.step)
+        ro, rd, radii, gt = val_ds.get_next_validation_rays()
+        out = renderer.render_image(state.params, ro, rd, radii, sched=sched)
+
+        vm = _validation_metrics(cfg, out, gt)
+        if cfg.dataset.ndc_rays:
+            ro_reg, rd_reg, _ = val_ds.get_current_regular_validation_rays()
+            for j in (0, 1):
+                out[j]["depth"] = switch_t_ndc_to_regular(
+                    out[j]["depth"], ro_reg, rd_reg
+                )
+        if cfg.is_ddnerf() and "weights" in out[0]:
+            w = out[0]["weights"].reshape(-1, out[0]["weights"].shape[-1])
+            pdf = w / np.maximum(w.sum(-1, keepdims=True), 1e-12)
+            mask = pdf > 0.1
+            for key in ("mus", "sigmas", "smoothed_sigmas"):
+                flat = out[0][key].reshape(-1, pdf.shape[-1])
+                out[0][f"{key}_hist"] = flat[mask]
+        doc.write_valid_iter(i, vm, out, gt, cfg.is_ddnerf())
+
+        if cfg.train_params.depth_analysis_rays:
+            da_out = run_depth_analysis(
+                cfg, pipeline, state.params, da_origins, da_directions,
+                da_rad, sched,
+            )
+            doc.write_depth_analysis_rays(
+                i, da_out, da_depth, cfg.dataset.near, cfg.dataset.far
+            )
+        if verbose:
+            print(
+                f"[VAL] iter {i} loss {vm['loss']:.4f} "
+                f"psnr {vm['psnr_fine']:.2f} time {time.time()-t_val:.1f}s"
+            )
+        return state
+
+    return run_validation
 
 
 def _validation_metrics(cfg: Config, out, gt):

@@ -153,6 +153,28 @@ def make_scan_train_step(cfg: Config, pipeline: NerfPipeline, num_steps: int):
     return scan_step
 
 
+def make_stacked_train_step_from_store(cfg: Config, pipeline: NerfPipeline,
+                                       length: int):
+    """``length`` train steps in ONE jitted program, returning the per-step
+    scalar metrics STACKED ``[length]`` (device-buffered observability).
+
+    This is how per-iteration train curves (the reference writes TB scalars
+    every iter, documentation.py:11-26) stay near-free on TPU: the scalars
+    accumulate in a scan carry on device and are fetched once per block
+    instead of once per step.  ``stacked(state, store) -> (state, metrics)``.
+    """
+    inner = make_train_step_from_store(cfg, pipeline)
+
+    def stacked(state: TrainState, store: jax.Array):
+        def body(carry, _):
+            new_state, metrics = inner(carry, store)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, None, length=length)
+
+    return stacked
+
+
 def make_eval_step(cfg: Config, pipeline: NerfPipeline, mode: str = "validation"):
     """Returns ``eval_step(params, batch, rng, sched) -> outputs`` for a flat
     ray batch (no grads).  ``mode="validation"`` includes the dp loss (the

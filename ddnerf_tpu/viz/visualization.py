@@ -36,41 +36,65 @@ def cast_to_image(arr: np.ndarray) -> np.ndarray:
     return np.moveaxis(img.astype(np.uint8), -1, 0)
 
 
+# Figure styling per destination.  TB thumbnails are small and dense;
+# standalone eval figures are larger with readable fonts.  The rendered
+# *content* (curve labels/colors, tick rows, GT marker) is the parity surface
+# with the reference's depth-analysis figures (visualization.py:37-98); the
+# drawing code below is an original object-API restatement.
+_FIG_STYLES = {
+    True: dict(size=(7, 5), dpi=150, legend_pt=6, tick_pt=8),    # tb_mode
+    False: dict(size=(9, 6), dpi=150, legend_pt=15, tick_pt=15),
+}
+
+# (output cycle, pdf key, legend label, matplotlib color) for each curve that
+# can appear in a per-ray distribution figure.  DD-specific curves are drawn
+# only when the model produced them.
+_CURVE_SPECS = (
+    (0, "uniform_incell_pdf", "h-c", "b"),
+    (1, "uniform_incell_pdf", "h-f", "m"),
+    (1, "gaussian_incell_pdf", "f-dd", "g"),
+    (1, "smoothed_gaussian_incell_pdf", "smoothed f-dd", "r"),
+)
+
+
 def gen_plot(x, y_list, legend, colors, gt, t_vals, title, tb_mode=False):
-    """Density-distribution figure -> PNG buffer
-    (reference visualization.py:37-72)."""
+    """Per-ray density-distribution figure -> PNG buffer.
+
+    Draws each pdf curve over the depth grid ``x``, marks the coarse / fine
+    sample positions as two tick rows below the axis, and flags the annotated
+    GT depth (if any) with a triangle above them.
+    """
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    if tb_mode:
-        w, h, dpi, legend_size, font_size = 7, 5, 150, 6, 8
-    else:
-        w, h, dpi, legend_size, font_size = 9, 6, 150, 15, 15
+    style = _FIG_STYLES[bool(tb_mode)]
+    fig, ax = plt.subplots(figsize=style["size"])
+    try:
+        for y, label, color in zip(y_list, legend, colors):
+            ax.plot(x, y, c=color, label=label)
 
-    plt.figure(figsize=(w, h))
-    dy_sctr = 0.9 * float(0.075 * np.max(y_list[0]))
+        # Tick rows sit a fixed fraction of the coarse pdf's peak below zero.
+        row_gap = 0.0675 * float(np.max(y_list[0]))
+        for row, (ticks, label) in enumerate(
+            zip(t_vals, ("coarse samples", "fine samples"))
+        ):
+            ticks = np.asarray(ticks)
+            ax.scatter(ticks, np.full(ticks.shape, -row * row_gap),
+                       c=colors[row], label=label)
+        if gt > 0:
+            ax.scatter([gt], [row_gap], s=100, c="orange", marker="^",
+                       label="points of interest")
 
-    for i in range(len(y_list)):
-        plt.plot(x, y_list[i], c=colors[i], label=legend[i])
+        ax.legend(fontsize=style["legend_pt"], loc="upper left")
+        ax.tick_params(labelsize=style["tick_pt"])
+        ax.set_title(title, fontsize=style["tick_pt"])
 
-    plt.scatter(x=np.asarray(t_vals[0]), y=np.zeros_like(np.asarray(t_vals[0])),
-                c=colors[0], label="coarse samples")
-    plt.scatter(x=np.asarray(t_vals[1]),
-                y=np.zeros_like(np.asarray(t_vals[1])) - dy_sctr,
-                c=colors[1], label="fine samples")
-    if gt > 0:
-        plt.scatter(x=gt, y=dy_sctr, s=100, c="orange", marker="^",
-                    label="points of interest")
-
-    plt.legend(fontsize=legend_size, loc="upper left")
-    plt.xticks(fontsize=font_size)
-    plt.yticks(fontsize=font_size)
-    plt.title(title, fontsize=font_size)
-    buf = io.BytesIO()
-    plt.savefig(buf, format="png", dpi=dpi)
-    plt.close()
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=style["dpi"])
+    finally:
+        plt.close(fig)
     buf.seek(0)
     return buf
 
@@ -78,33 +102,32 @@ def gen_plot(x, y_list, legend, colors, gt, t_vals, title, tb_mode=False):
 def get_density_distribution_plots(output, j, gt_depth, near, far, i=0,
                                    tb_mode=True) -> np.ndarray:
     """Per-ray coarse/fine histogram pdfs + Gaussian in-cell pdfs + sample
-    ticks + GT depth marker (reference visualization.py:74-98).  Returns a
-    [3or4, H, W] uint8 image."""
+    ticks + GT depth marker (the reference's depth-analysis figure,
+    visualization.py:74-98).  Returns a [3or4, H, W] uint8 image."""
     from PIL import Image
 
-    x = np.linspace(near, far, 1000)
-    gt = gt_depth[j]
-    t_vals = [np.asarray(output[0]["t_vals"][j]), np.asarray(output[1]["t_vals"][j])]
-    y_list = [
-        np.asarray(output[0]["uniform_incell_pdf"][j]),
-        np.asarray(output[1]["uniform_incell_pdf"][j]),
+    curves = [
+        (np.asarray(output[cycle][key][j]), label, color)
+        for cycle, key, label, color in _CURVE_SPECS
+        if key in output[cycle]
     ]
-    colors = ["b", "m"]
-    legend = ["h-c", "h-f"]
-
-    if "gaussian_incell_pdf" in output[1]:
-        y_list.append(np.asarray(output[1]["gaussian_incell_pdf"][j]))
-        legend.append("f-dd")
-        colors.append("g")
-        y_list.append(np.asarray(output[1]["smoothed_gaussian_incell_pdf"][j]))
-        legend.append("smoothed f-dd")
-        colors.append("r")
-
     title = f"Distributions and samples - ray_{j}"
-    title = title + f"- iteration {i}" if tb_mode else title
-    buff = gen_plot(x, y_list, legend, colors, gt, t_vals, title, tb_mode)
-    img = Image.open(buff)
-    return np.array(img).transpose(2, 0, 1)
+    if tb_mode:
+        title += f"- iteration {i}"
+
+    buff = gen_plot(
+        x=np.linspace(near, far, 1000),
+        y_list=[c[0] for c in curves],
+        legend=[c[1] for c in curves],
+        colors=[c[2] for c in curves],
+        gt=gt_depth[j],
+        t_vals=[np.asarray(output[0]["t_vals"][j]),
+                np.asarray(output[1]["t_vals"][j])],
+        title=title,
+        tb_mode=tb_mode,
+    )
+    with Image.open(buff) as img:
+        return np.array(img).transpose(2, 0, 1)
 
 
 def save_validation_images(output_dict: Dict[int, Dict[str, np.ndarray]],

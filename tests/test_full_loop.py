@@ -235,3 +235,88 @@ def test_renderer_scalar_chunk_weighting():
     # tolerance.
     assert chunked[1]["dp_loss"] == pytest.approx(
         float(whole[1]["dp_loss"]), rel=0.05)
+
+
+def test_block_mode_per_iter_scalars(tmp_path):
+    """train_scalars_every=1 must produce one train record per iteration
+    (reference-density curves, documentation.py:11-26) with steps 0..N-1,
+    via the device-buffered scan-block driver, and still validate/save on
+    the exact boundaries."""
+    import json
+
+    cfg = Config.from_dict(
+        {
+            "experiment": {
+                "id": "blockmode",
+                "logdir": str(tmp_path),
+                "train_iters": 13,
+                "validate_every": 6,
+                "save_every": 6,
+                "print_every": 4,
+                "train_scalars_every": 1,
+            },
+            "nerf": {
+                "type": "DDNerfModel",
+                "coarse_hidden_size": 16,
+                "fine_hidden_size": 16,
+                "train": {"num_coarse": 4, "num_fine": 4, "num_random_rays": 64,
+                          "radiance_field_noise_std": 0.0, "chunksize": 1024},
+                "validation": {"num_coarse": 4, "num_fine": 4, "perturb": False,
+                               "chunksize": 1024},
+            },
+            "dataset": {"type": "blender", "synthetic": True},
+            "parallel": {"num_devices": 1},
+        }
+    ).resolved()
+    state, logdir = train(cfg, use_tensorboard=False, verbose=False)
+    assert int(state.step) == 13
+
+    train_steps, val_steps = [], []
+    with open(os.path.join(logdir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            (train_steps if rec["kind"] == "train" else val_steps).append(
+                rec["step"]
+            )
+    assert train_steps == list(range(13))  # every iteration, in order
+    assert val_steps == [0, 6, 12]
+    assert os.path.isdir(os.path.join(logdir, "blockmode", "checkpoint")) or \
+        os.path.isdir(os.path.join(logdir, "checkpoint"))
+
+
+def test_block_mode_matches_per_iter_driver(tmp_path):
+    """The scan-block driver must produce the same training trajectory as
+    the per-iter driver (identical rng fold per step)."""
+    base = {
+        "experiment": {
+            "logdir": str(tmp_path),
+            "train_iters": 9,
+            "validate_every": 100,
+            "save_every": 100,
+            "print_every": 3,
+        },
+        "nerf": {
+            "type": "DDNerfModel",
+            "coarse_hidden_size": 16,
+            "fine_hidden_size": 16,
+            "train": {"num_coarse": 4, "num_fine": 4, "num_random_rays": 64,
+                      "radiance_field_noise_std": 0.0, "chunksize": 1024},
+            "validation": {"num_coarse": 4, "num_fine": 4, "perturb": False,
+                           "chunksize": 1024},
+        },
+        "dataset": {"type": "blender", "synthetic": True},
+        "parallel": {"num_devices": 1, "donate_state": False},
+    }
+    cfg_a = Config.from_dict({**base, "experiment": {**base["experiment"], "id": "a"}}).resolved()
+    cfg_b = Config.from_dict({**base, "experiment": {
+        **base["experiment"], "id": "b", "train_scalars_every": 1}}).resolved()
+
+    state_a, _ = train(cfg_a, use_tensorboard=False, verbose=False)
+    state_b, _ = train(cfg_b, use_tensorboard=False, verbose=False)
+
+    import jax
+
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-6)
