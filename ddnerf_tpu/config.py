@@ -173,6 +173,19 @@ class ParallelConfig:
     # legacy bool alias for pallas_mlp ("all" when True)
     use_pallas_mlp: bool = False
     donate_state: bool = True
+    # Recompute the MLP forward during backward instead of saving trunk
+    # residuals (jax.checkpoint).  Trades spare MXU cycles for ~1.3 GB/step
+    # of HBM residual traffic at the flagship shape; measured a net loss on
+    # v5e at every batch size (PERF.md batch-size study) — kept as a knob
+    # for memory-bound deployments.
+    remat_mlp: bool = False
+    # Split each train batch into microbatches of this many rays inside the
+    # jitted step (lax.scan + gradient accumulation — same math, means of
+    # equal-sized chunks).  XLA picks pathological transposed-operand matmul
+    # emitters once a backward matmul's row count crosses ~10^5 (PERF.md),
+    # so large batches run fastest as a scan over ~2048-ray chunks.
+    # 0 = no microbatching.
+    microbatch_rays: int = 0
 
 
 @dataclass(frozen=True)

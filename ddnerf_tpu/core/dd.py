@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ddnerf_tpu.core.math import normal_cdf
-from ddnerf_tpu.core.sampling import _one_hot_of
+from ddnerf_tpu.core.sampling import fetch_sections, interval_one_hot
 
 _EPS = 1e-12
 
@@ -81,25 +81,16 @@ def estimate_dp_loss(
     )  # [N, S+1]
 
     # Containing coarse section for each fine fencepost.  The reference uses
-    # a strict ">" broadcast mask (dd_utils.py:43); the count formulation is
-    # identical because t_vals_0 is sorted.  Values are fetched with one-hot
-    # contractions, not take_along_axis — TPU gathers dominate otherwise
-    # (see sampling._SectionGather).
-    num_bins = t_vals_0.shape[-1] - 1
-    mask = t_vals_1[..., None, :] > t_vals_0[..., :, None]  # [N, S+1, M+1]
-    ind = jnp.clip(jnp.sum(mask, axis=-2, dtype=jnp.int32) - 1, 0, num_bins - 1)
-
-    oh = _one_hot_of(ind, num_bins + 1)  # [N, M+1, S+1]
-    ohs = oh[..., :-1]  # [N, M+1, S]
-    take_f = lambda x: jnp.einsum("...ms,...s->...m", oh, x)
-    take_s = lambda x: jnp.einsum("...ms,...s->...m", ohs, x)
-
-    est_cdf = take_f(cdf)  # cdf at the section's start fencepost
-    mus = take_s(mus_ray)
-    sigmas = take_s(sigmas_ray)
-    part_inside = take_s(part_inside_cells_0)
-    left_tails = take_s(left_tails_0)
-    pdf_sec = take_s(pdf_0)
+    # a strict ">" broadcast mask (dd_utils.py:43); the one-hot here comes
+    # straight from that comparison (sampling.interval_one_hot) and all six
+    # per-fencepost values are fetched in ONE [M+1, S] @ [S, 6] contraction —
+    # TPU gathers are scalar addressing and dominated the step otherwise.
+    oh = interval_one_hot(t_vals_1, t_vals_0, strict=True)  # [N, M+1, S]
+    est_cdf, mus, sigmas, part_inside, left_tails, pdf_sec = fetch_sections(
+        oh,
+        cdf[..., :-1],  # cdf at the section's start fencepost
+        mus_ray, sigmas_ray, part_inside_cells_0, left_tails_0, pdf_0,
+    )
 
     x = (t_vals_1 - mus) / sigmas
     additional = ((normal_cdf(x) - left_tails) / part_inside) * pdf_sec

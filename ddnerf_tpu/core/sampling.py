@@ -155,6 +155,57 @@ def _take(x, ind):
     return jnp.take_along_axis(x, ind, axis=-1)
 
 
+def interval_one_hot(x, fences, strict=False):
+    """f32 one-hot [..., M, S] of ``clip(interval_index(x), 0, S-1)`` over
+    sorted ``fences`` [..., S+1] — built straight from the comparison mask,
+    with no integer indices at all.
+
+    Because the fences are sorted, the comparison row
+    ``c_s = (x >= fences_s)`` is a decreasing 0/1 sequence, and the one-hot
+    of the clipped interval index is exactly its adjacent difference with the
+    ends pinned: ``oh_0 = 1 - c_1``, ``oh_s = c_s - c_{s+1}``,
+    ``oh_{S-1} = c_{S-1}``.  Compared to the earlier
+    mask -> int32-sum -> iota-compare pipeline this skips the integer
+    reduction, the iota equality, the clip, and the roll — it is one
+    comparison against the *inner* fences plus a subtract, and the
+    coefficients stay exactly 0/1 (no float error).
+
+    ``strict`` selects ``>`` (the dp-loss convention, dd_utils.py:43) vs
+    ``>=`` (the CDF inverse convention, samplers.py:106-119).  Both clip the
+    index into [0, S-1] like the reference.
+    """
+    inner = fences[..., None, 1:-1]  # the S-1 interior fenceposts
+    c = (x[..., :, None] > inner) if strict else (x[..., :, None] >= inner)
+    c = c.astype(fences.dtype)
+    edge = jnp.ones_like(c[..., :1])
+    left = jnp.concatenate([edge, c], axis=-1)
+    right = jnp.concatenate([c, jnp.zeros_like(edge)], axis=-1)
+    return left - right
+
+
+def fetch_sections(oh, *arrays):
+    """Fetch per-sample values from K section arrays in ONE contraction.
+
+    ``oh``: [..., M, S] one-hot; each array: [..., S].  Stacks the arrays
+    into [..., S, K] and contracts with the shared one-hot — a single
+    [M, S] @ [S, K] batched matmul instead of K separate einsums, which is
+    the hot non-matmul op of the train step (PERF.md: convert/reduce tail).
+    Exact: one nonzero per one-hot row.  Returns a tuple of K [..., M]
+    arrays.
+    """
+    stacked = jnp.stack(arrays, axis=-1)
+    # HIGHEST precision is required: the default TPU matmul precision is
+    # bf16, and unlike the K=1 one-hot einsums (which lower to exact VPU
+    # select/reduce fusions) this [M,S] @ [S,K] form lowers to an MXU
+    # matmul — bf16 would quantize the fetched CDF values, so u - cdf_g0
+    # can flip sign and NaN the truncated-Gaussian inverse CDF (observed:
+    # training diverged at ~1k iters on v5e).  With exact 0/1 one-hot rows
+    # f32 products are exact, so HIGHEST restores gather-identical values.
+    out = jnp.einsum("...ms,...sk->...mk", oh, stacked,
+                     precision=jax.lax.Precision.HIGHEST)
+    return tuple(out[..., k] for k in range(len(arrays)))
+
+
 # --------------------------------------------------------------------------
 # Plain inverse-CDF resampler — reference samplers.py:64-121
 # --------------------------------------------------------------------------
@@ -180,13 +231,12 @@ def sample_pdf(rng, bins, weights, num_samples, *, pdf_padding, det=True):
         )
         u = jnp.minimum(u, 0.9999)
 
-    ind = _interval_index(u, cdf)
-    oh0 = _one_hot_of(ind, cdf.shape[-1])
-    oh1 = jnp.roll(oh0, 1, axis=-1)  # selects ind+1 (ind <= S-1, no wrap)
-    take0 = lambda x: jnp.einsum("...ms,...s->...m", oh0, x)
-    take1 = lambda x: jnp.einsum("...ms,...s->...m", oh1, x)
-    bins_g0, bins_g1 = take0(bins), take1(bins)
-    cdf_g0, cdf_g1 = take0(cdf), take1(cdf)
+    # ind and ind+1 fetches share one [M, S] one-hot: y[ind] contracts with
+    # y[:-1], y[ind+1] with y[1:] (ind <= S-1 after clipping).
+    oh = interval_one_hot(u, cdf)
+    bins_g0, bins_g1, cdf_g0, cdf_g1 = fetch_sections(
+        oh, bins[..., :-1], bins[..., 1:], cdf[..., :-1], cdf[..., 1:]
+    )
 
     denom = cdf_g1 - cdf_g0
     t = jnp.clip(jnp.where(denom > 0, (u - cdf_g0) / jnp.where(denom > 0, denom, 1.0), 0.0), 0.0, 1.0)
@@ -249,26 +299,20 @@ def sample_pdf_with_mu_sigma(
         bins_g0 = bins[..., 0:1]
         bins_g1 = bins[..., 1:2]
     else:
-        ind = _interval_index(u, cdf)
-        oh0 = _one_hot_of(ind, cdf.shape[-1])  # [..., M, S+1]
-        oh1 = jnp.roll(oh0, 1, axis=-1)
-        ohs = oh0[..., :-1]  # section-indexed arrays (S entries)
-        take0 = lambda x: jnp.einsum("...ms,...s->...m", oh0, x)
-        take1 = lambda x: jnp.einsum("...ms,...s->...m", oh1, x)
-        takes = lambda x: jnp.einsum("...ms,...s->...m", ohs, x)
-
-        bins_g0, bins_g1 = take0(bins), take1(bins)
-        cdf_g0, cdf_g1 = take0(cdf), take1(cdf)
-
-        pib = takes(part_inside_bins)
-        lt = takes(left_tail)
+        # One [M, S] one-hot shared by all eight fetches, contracted in a
+        # single [M, S] @ [S, 8] batched matmul (fetch_sections).
+        oh = interval_one_hot(u, cdf)
+        (bins_g0, bins_g1, cdf_g0, cdf_g1, pib, lt, new_mus, new_sigmas) = \
+            fetch_sections(
+                oh,
+                bins[..., :-1], bins[..., 1:],
+                cdf[..., :-1], cdf[..., 1:],
+                part_inside_bins, left_tail, mus, sigmas,
+            )
 
         denom = cdf_g1 - cdf_g0
         frac = jnp.where(denom > 0, (u - cdf_g0) / jnp.where(denom > 0, denom, 1.0), 0.0)
         z = jnp.minimum(frac * pib + lt, 0.999)
-
-        new_mus = takes(mus)
-        new_sigmas = takes(sigmas)
 
     z = mmath.normal_inverse_cdf(z)
     t = jnp.clip(z * new_sigmas + new_mus, 0.0, 0.99999)

@@ -52,6 +52,11 @@ class _TorchDense(nn.Module):
             (self.features,),
         )
         dtype = self.dtype or x.dtype
+        # Matmul inputs ride the MXU in the compute dtype; the result and
+        # the activation stay f32.  (Keeping activations bf16 end-to-end was
+        # measured: no throughput gain — the backward is wgrad-fusion-bound,
+        # not cotangent-dtype-bound — and DDNeRF training NaN'd within 2k
+        # iterations.  See PERF.md round-2 notes.)
         y = jnp.dot(x.astype(dtype), kernel.astype(dtype), preferred_element_type=jnp.float32)
         return y + bias
 

@@ -170,12 +170,26 @@ class NerfPipeline:
             )
             return flat.reshape(n, s, out_dim)
 
-        ipe = mmath.integrated_pos_enc((means, covs))  # [N, S, 96]
-        dirs_enc = mmath.positional_encoding(rays.viewdirs, num_freqs=4)  # [N, 27]
-        dirs_b = jnp.broadcast_to(
-            dirs_enc[..., None, :], ipe.shape[:-1] + (dirs_enc.shape[-1],)
-        )
-        return module.apply({"params": params}, ipe, dirs_b)
+        def net(params, means, covs, viewdirs):
+            ipe = mmath.integrated_pos_enc((means, covs))  # [N, S, 96]
+            dirs_enc = mmath.positional_encoding(viewdirs, num_freqs=4)  # [N, 27]
+            dirs_b = jnp.broadcast_to(
+                dirs_enc[..., None, :], ipe.shape[:-1] + (dirs_enc.shape[-1],)
+            )
+            # Keep the [N, S, C] form: measured ~9% faster than flattening
+            # to [N*S, C] at the flagship batch (XLA layout choice).  Large
+            # batches where the 3-D form picks pathological backward-matmul
+            # emitters are handled by parallel.microbatch_rays instead.
+            return module.apply({"params": params}, ipe, dirs_b)
+
+        if self.cfg.parallel.remat_mlp:
+            # Rematerialize IPE + MLP in the backward pass: the saved trunk
+            # residuals (~10 x [N*S, 256] per net) otherwise round-trip HBM,
+            # which is what caps large-batch throughput (PERF.md).  Recompute
+            # is MXU work the chip has spare capacity for.  No-op for
+            # forward-only (eval/render) calls.
+            net = jax.checkpoint(net)
+        return net(params, means, covs, rays.viewdirs)
 
     # ---------------------------------------------------------------- render
 

@@ -149,6 +149,7 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
         cfg.train_params.depth_analysis_rays, pipeline,
     )
 
+    requested_profile_steps = profile_steps
     scalars_every = cfg.experiment.train_scalars_every
     # Device-buffered per-iteration scalars: run print_every-sized lax.scan
     # blocks that stack every step's metrics on device, flushed in one fetch
@@ -273,6 +274,16 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
             if last > 0 and is_event(last, cfg.experiment.save_every):
                 manager.save(state)
             i = last + 1
+
+    if requested_profile_steps and verbose:
+        # Automated device-trace digest of the captured profile (the
+        # analysis PERF.md tabulates; SURVEY.md §5 tracing).
+        from ddnerf_tpu.utils.trace_summary import summarize_logdir
+
+        try:
+            print(summarize_logdir(logdir, steps=requested_profile_steps))
+        except Exception as e:  # trace formats vary across backends
+            print(f"[profile] trace summary unavailable: {e}")
 
     manager.wait()
     doc.close()

@@ -74,6 +74,25 @@ def compute_loss(
     return loss, metrics
 
 
+def _scan_accumulate(grad_of, rng, chunked, k):
+    """Sum (grads, metrics) over k microbatches: the first runs inline to
+    seed the carry structure, the remaining k-1 run under ``lax.scan``."""
+    first = {name: v[0] for name, v in chunked.items()}
+    rest = {name: v[1:] for name, v in chunked.items()}
+    init = grad_of(first, jax.random.fold_in(rng, 0))
+
+    def body(carry, xs):
+        idx, part = xs
+        g, m = grad_of(part, jax.random.fold_in(rng, idx))
+        return (
+            jax.tree_util.tree_map(jnp.add, carry[0], g),
+            jax.tree_util.tree_map(jnp.add, carry[1], m),
+        ), None
+
+    (g_sum, m_sum), _ = jax.lax.scan(body, init, (jnp.arange(1, k), rest))
+    return g_sum, m_sum
+
+
 def make_train_step(cfg: Config, pipeline: NerfPipeline):
     """Returns ``train_step(state, batch) -> (state, metrics)`` ready for
     ``jax.jit`` (donate state for in-place HBM updates)."""
@@ -81,21 +100,43 @@ def make_train_step(cfg: Config, pipeline: NerfPipeline):
     near = cfg.dataset.near
     far = cfg.dataset.far
 
+    mb = cfg.parallel.microbatch_rays
+
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         step = state.step
         sched = schedule_values(cfg, step)
         rng = jax.random.fold_in(state.rng, step)
-        rays = RayBatch.create(
-            batch["origins"], batch["directions"], batch["radii"], near, far
-        )
-        target = batch["rgb"]
 
-        def loss_fn(params):
-            return compute_loss(
-                cfg, pipeline, params, rays, target, rng, sched, "train"
+        def grad_of(batch_part, part_rng):
+            rays = RayBatch.create(
+                batch_part["origins"], batch_part["directions"],
+                batch_part["radii"], near, far,
             )
 
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+            def loss_fn(params):
+                return compute_loss(
+                    cfg, pipeline, params, rays, batch_part["rgb"],
+                    part_rng, sched, "train",
+                )
+
+            return jax.grad(loss_fn, has_aux=True)(state.params)
+
+        num_rays = batch["origins"].shape[0]
+        if mb and num_rays > mb and num_rays % mb == 0:
+            # Gradient accumulation over equal microbatches: mean of chunk
+            # means == global mean, so loss/grads match the monolithic step
+            # up to summation order.  Keeps every backward matmul at the
+            # row count XLA tiles well (parallel.microbatch_rays).
+            k = num_rays // mb
+            chunked = {
+                name: v.reshape(k, mb, *v.shape[1:]) for name, v in batch.items()
+            }
+
+            g_sum, m_sum = _scan_accumulate(grad_of, rng, chunked, k)
+            grads = jax.tree_util.tree_map(lambda x: x / k, g_sum)
+            metrics = jax.tree_util.tree_map(lambda x: x / k, m_sum)
+        else:
+            grads, metrics = grad_of(batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["lr"] = schedules.make_lr_schedule(cfg)(step)

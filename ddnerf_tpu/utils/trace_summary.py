@@ -1,0 +1,136 @@
+"""Automated device-trace summary (SURVEY.md §5 tracing).
+
+Parses the Chrome-trace JSON that ``jax.profiler`` writes (the same data
+TensorBoard's profile plugin shows) and aggregates device-op time by HLO
+category, by source line, and by op — the analysis PERF.md's tables were
+originally produced from by hand.
+
+Usage::
+
+    python -m ddnerf_tpu.utils.trace_summary LOGDIR --steps N [--top K]
+
+``LOGDIR`` is a directory passed to ``utils.profiling.trace`` (or the train
+CLI's ``--profile-steps``); the newest ``*.trace.json.gz`` under
+``plugins/profile`` is used.  ``--steps`` divides totals into per-step
+numbers.
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+from typing import Dict, List, Optional
+
+
+def find_latest_trace(logdir: str) -> Optional[str]:
+    paths = glob.glob(
+        os.path.join(logdir, "plugins", "profile", "*", "*.trace.json.gz")
+    )
+    return max(paths, key=os.path.getmtime) if paths else None
+
+
+def load_device_ops(trace_path: str) -> List[dict]:
+    """All complete ('X') events on the device's XLA-Ops track, with their
+    args (hlo_category / source / tf_op / flops / bytes)."""
+    with gzip.open(trace_path, "rt") as f:
+        data = json.load(f)
+    events = data["traceEvents"]
+
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "CPU" not in e["args"]["name"]
+    }
+    ops_tids = {
+        (e["pid"], e["tid"])
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "thread_name"
+        and e["args"]["name"] == "XLA Ops"
+    }
+    return [
+        e
+        for e in events
+        if e.get("ph") == "X"
+        and e["pid"] in device_pids
+        and (e["pid"], e["tid"]) in ops_tids
+        and e.get("args")
+    ]
+
+
+def summarize(ops: List[dict], steps: int = 1) -> Dict[str, object]:
+    """Aggregate op durations.  Returns a dict with ``total_ms`` (per step),
+    ``by_category``, ``by_source``, ``by_op`` — each a list of
+    (key, ms_per_step, share) sorted by time — and ``model_flops``."""
+    by_cat = collections.Counter()
+    by_src = collections.Counter()
+    by_op = collections.Counter()
+    flops = 0
+    for e in ops:
+        a = e["args"]
+        dur = e["dur"]
+        by_cat[a.get("hlo_category", "?")] += dur
+        by_src[a.get("source", "(unattributed)")] += dur
+        by_op[a.get("deduplicated_name") or e["name"]] += dur
+        flops += int(a.get("model_flops", 0) or 0)
+    total = sum(by_cat.values())
+
+    def table(counter):
+        return [
+            (k, v / steps / 1000.0, v / total if total else 0.0)
+            for k, v in counter.most_common()
+        ]
+
+    return {
+        "total_ms": total / steps / 1000.0,
+        "model_gflops": flops / steps / 1e9,
+        "by_category": table(by_cat),
+        "by_source": table(by_src),
+        "by_op": table(by_op),
+    }
+
+
+def format_summary(summary: Dict[str, object], top: int = 15) -> str:
+    lines = [
+        f"device op time: {summary['total_ms']:.3f} ms/step   "
+        f"model flops: {summary['model_gflops']:.1f} G/step",
+        "",
+        "-- by HLO category --",
+    ]
+    for key, ms, share in summary["by_category"][:top]:
+        lines.append(f"{ms:9.4f} ms  {100 * share:5.1f}%  {key}")
+    lines += ["", "-- by source line --"]
+    for key, ms, share in summary["by_source"][:top]:
+        lines.append(f"{ms:9.4f} ms  {100 * share:5.1f}%  {key}")
+    lines += ["", "-- by op --"]
+    for key, ms, share in summary["by_op"][:top]:
+        lines.append(f"{ms:9.4f} ms  {100 * share:5.1f}%  {key}")
+    return "\n".join(lines)
+
+
+def summarize_logdir(logdir: str, steps: int = 1, top: int = 15) -> str:
+    trace = find_latest_trace(logdir)
+    if trace is None:
+        raise FileNotFoundError(f"no trace.json.gz under {logdir}/plugins/profile")
+    return format_summary(summarize(load_device_ops(trace), steps), top)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("logdir")
+    ap.add_argument("--steps", type=int, default=1,
+                    help="profiled steps (divides totals into per-step)")
+    ap.add_argument("--top", type=int, default=15)
+    args = ap.parse_args(argv)
+    print(summarize_logdir(args.logdir, args.steps, args.top))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,7 +97,10 @@ class Documenter:
                                   cast_to_disparity_image(output[1]["disp"]), idx)
             self.writer.add_image("rgb/target", cast_to_image(img_target), idx)
             if is_ddnerf:
-                if "mus_hist" in output[0]:
+                # The mu/sigma histograms are masked to pdf > 0.1 upstream;
+                # early in training no section may pass the threshold, and
+                # tensorboardX raises on empty input — skip, don't crash.
+                if "mus_hist" in output[0] and output[0]["mus_hist"].size:
                     self.writer.add_histogram(
                         "depth_prediction/mu_hist",
                         output[0]["mus_hist"].reshape(-1, 1), idx)

@@ -84,3 +84,22 @@ def test_disparity_cast_handles_nan():
     out = cast_to_disparity_image(disp)
     assert out.dtype == np.uint8
     assert np.isfinite(out.astype(np.float32)).all()
+
+
+def test_valid_iter_with_empty_histograms(tmp_path):
+    """pdf > 0.1 can select zero sections early in training; an empty
+    mu/sigma histogram must be skipped, not crash tensorboardX
+    (regression: ValueError 'The input has no element.')."""
+    doc = Documenter(str(tmp_path), use_tensorboard=True)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
+    disp = rng.uniform(0, 1, (8, 8)).astype(np.float32)
+    empty = np.zeros((0,), np.float32)
+    out = {
+        0: {"rgb": img, "disp": disp, "corrected_disp_map": disp,
+            "mus_hist": empty, "sigmas_hist": empty,
+            "smoothed_sigmas_hist": empty},
+        1: {"rgb": img, "disp": disp},
+    }
+    doc.write_valid_iter(0, _metrics(), out, img, is_ddnerf=True)
+    doc.close()

@@ -439,3 +439,38 @@ def test_one_hot_gather_equals_take_along_axis():
                           jnp.asarray(vals))
         want1 = _take(jnp.asarray(vals), ind + 1)
         np.testing.assert_array_equal(np.asarray(got1), np.asarray(want1))
+
+
+def test_interval_one_hot_matches_clipped_index_fuzz():
+    """interval_one_hot + fetch_sections must reproduce exact clipped-index
+    gathers for both conventions (>= for CDF inverse, > for dp loss),
+    including x below the first / above the last fence."""
+    import numpy as np
+
+    from ddnerf_tpu.core.sampling import fetch_sections, interval_one_hot
+
+    rng = np.random.default_rng(7)
+    for strict in (False, True):
+        for _ in range(20):
+            S = int(rng.integers(2, 12))
+            M = int(rng.integers(1, 15))
+            fences = np.sort(rng.standard_normal((3, S + 1)), axis=-1).astype(np.float32)
+            # include values outside the fence range and exactly on fences
+            x = rng.uniform(fences.min() - 1, fences.max() + 1, (3, M)).astype(np.float32)
+            x[:, 0] = fences[:, 0]   # exactly on the first fence
+            if M > 1:
+                x[:, 1] = fences[:, -1]  # exactly on the last fence
+
+            cmp = (x[:, None, :] > fences[..., None]) if strict else \
+                  (x[:, None, :] >= fences[..., None])
+            ind = np.clip(cmp.sum(axis=1) - 1, 0, S - 1)  # [3, M]
+
+            vals = rng.standard_normal((3, S)).astype(np.float32)
+            want = np.take_along_axis(vals, ind, axis=-1)
+
+            oh = np.asarray(interval_one_hot(jnp.asarray(x), jnp.asarray(fences),
+                                             strict=strict))
+            assert set(np.unique(oh)) <= {0.0, 1.0}
+            assert (oh.sum(-1) == 1).all()
+            (got,) = fetch_sections(jnp.asarray(oh), jnp.asarray(vals))
+            np.testing.assert_array_equal(np.asarray(got), want)

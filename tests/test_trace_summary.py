@@ -1,0 +1,85 @@
+"""Trace-summary tool: aggregation over a synthetic Chrome trace, plus a
+round-trip through a real jax.profiler capture on CPU."""
+
+import gzip
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ddnerf_tpu.utils import trace_summary as ts
+
+
+def _write_trace(path, events):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with gzip.open(path, "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+
+def test_summarize_synthetic_trace(tmp_path):
+    trace = str(tmp_path / "plugins" / "profile" / "run1" / "host.trace.json.gz")
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 9, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "M", "pid": 3, "tid": 3, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 3, "tid": 1, "name": "thread_name",
+         "args": {"name": "Steps"}},
+        # two steps of: one matmul fusion + one copy on the ops track
+        {"ph": "X", "pid": 3, "tid": 3, "name": "fusion.1", "ts": 0, "dur": 3000,
+         "args": {"hlo_category": "convolution fusion",
+                  "source": "/repo/mlp.py:55", "model_flops": "1000000"}},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "copy.1", "ts": 3000, "dur": 1000,
+         "args": {"hlo_category": "copy"}},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "fusion.1", "ts": 9000, "dur": 3000,
+         "args": {"hlo_category": "convolution fusion",
+                  "source": "/repo/mlp.py:55", "model_flops": "1000000"}},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "copy.1", "ts": 12000, "dur": 1000,
+         "args": {"hlo_category": "copy"}},
+        # same names on the Steps track / host pid must be ignored
+        {"ph": "X", "pid": 3, "tid": 1, "name": "step", "ts": 0, "dur": 99999,
+         "args": {"hlo_category": "bogus"}},
+        {"ph": "X", "pid": 9, "tid": 3, "name": "hostwork", "ts": 0, "dur": 99999,
+         "args": {"hlo_category": "bogus"}},
+    ]
+    _write_trace(trace, events)
+
+    assert ts.find_latest_trace(str(tmp_path)) == trace
+    ops = ts.load_device_ops(trace)
+    assert len(ops) == 4
+    s = ts.summarize(ops, steps=2)
+    assert s["total_ms"] == pytest.approx(4.0)  # (3000+1000)*2 us / 2 steps
+    cats = dict((k, ms) for k, ms, _ in s["by_category"])
+    assert cats["convolution fusion"] == pytest.approx(3.0)
+    assert cats["copy"] == pytest.approx(1.0)
+    assert s["model_gflops"] == pytest.approx(1e-3)
+    text = ts.format_summary(s)
+    assert "convolution fusion" in text and "mlp.py:55" in text
+
+
+def test_real_cpu_capture_parses_without_ops(tmp_path):
+    """The CPU backend emits no per-op XLA-Ops track (the tool's tables are
+    TPU data); a genuine CPU capture must still parse and summarize to empty
+    tables instead of crashing — the train CLI calls this unconditionally
+    after --profile-steps."""
+    logdir = str(tmp_path)
+
+    @jax.jit
+    def f(x):
+        return (x @ x.T).sum()
+
+    x = jnp.ones((64, 64))
+    float(f(x))
+    jax.profiler.start_trace(logdir)
+    float(f(x))
+    jax.profiler.stop_trace()
+
+    trace = ts.find_latest_trace(logdir)
+    assert trace is not None
+    assert ts.load_device_ops(trace) == []
+    out = ts.summarize_logdir(logdir, steps=1)
+    assert "device op time: 0.000" in out

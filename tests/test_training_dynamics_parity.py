@@ -4,7 +4,9 @@ must match statistically (RNG streams differ, so bitwise equality is not
 expected — SURVEY.md §7 'parity must be statistical').
 
 Covers what forward-parity tests cannot: gradients, Adam updates, the LR
-schedule in situ, and the coupled coarse/fine + dp-loss dynamics.
+schedule in situ, and the coupled coarse/fine + dp-loss dynamics.  Widened
+matrix: DDNerfModel and GeneralMipNerfModel, and both dataset regimes
+(llff: eps-free pdf; blender: eps-masked pdf + empty-ray dp filter).
 """
 
 import numpy as np
@@ -43,8 +45,9 @@ def _scene_rays(seed=0, n=4096):
     return ro, rd, radii, rgb
 
 
-@requires_reference
-def test_cotrained_loss_trajectories_match():
+def _cotrain(nerf_type, ds_type, n_iters=N_ITERS):
+    """Train the torch reference and this framework from the same initial
+    weights on the same ray-index stream; returns (ref_losses, jax_losses)."""
     import sys
 
     if REFERENCE_PATH not in sys.path:
@@ -54,33 +57,40 @@ def test_cotrained_loss_trajectories_match():
     from general_utils.nerf_helpers import learning_rate_decay as ref_lr
     from models import models as ref_models
 
-    d = _cfg_dict("DDNerfModel", "llff")
+    is_dd = nerf_type == "DDNerfModel"
+    d = _cfg_dict(nerf_type, ds_type)
     d["nerf"]["train"]["perturb"] = True
-    d["experiment"]["train_iters"] = N_ITERS
+    d["experiment"]["train_iters"] = n_iters
     d["optimizer"] = {"lr_init": 3e-3, "lr_final": 1e-3, "lr_delay_steps": 0,
                       "lr_delay_mult": 1.0}
 
     # ---- torch side
     ref_cfg = CfgNode(d)
     torch.manual_seed(0)
-    ref_model = ref_models.DDNerfModel(ref_cfg)
+    ref_model = getattr(ref_models, nerf_type)(ref_cfg)
     ref_model.train()
     # Snapshot the INITIAL weights (jnp copies) before torch training
     # mutates them in place.
-    params0 = {"coarse": _transplant(ref_model.coarse),
-               "fine": _transplant(ref_model.fine)}
-    optims = [torch.optim.Adam(ref_model.coarse.parameters(), lr=3e-3),
-              torch.optim.Adam(ref_model.fine.parameters(), lr=3e-3)]
+    if is_dd:
+        params0 = {"coarse": _transplant(ref_model.coarse),
+                   "fine": _transplant(ref_model.fine)}
+        optims = [torch.optim.Adam(ref_model.coarse.parameters(), lr=3e-3),
+                  torch.optim.Adam(ref_model.fine.parameters(), lr=3e-3)]
+    else:
+        # GeneralMipNerfModel shares one net across cycles (models.py:28) —
+        # a single optimizer, else the shared params would double-step.
+        params0 = {"coarse": _transplant(ref_model.coarse)}
+        optims = [torch.optim.Adam(ref_model.coarse.parameters(), lr=3e-3)]
 
     ro, rd, radii, rgb = _scene_rays()
     t_ro, t_rd, t_radii, t_rgb = map(torch.tensor, (ro, rd, radii, rgb))
 
     host = np.random.default_rng(42)
-    idx_stream = [host.integers(0, len(ro), N_RAYS) for _ in range(N_ITERS)]
+    idx_stream = [host.integers(0, len(ro), N_RAYS) for _ in range(n_iters)]
 
     ref_losses = []
-    for i in range(N_ITERS):
-        lr = float(ref_lr(i, 3e-3, 1e-3, N_ITERS, 0, 1.0))
+    for i in range(n_iters):
+        lr = float(ref_lr(i, 3e-3, 1e-3, n_iters, 0, 1.0))
         for opt in optims:
             for g in opt.param_groups:
                 g["lr"] = lr
@@ -88,8 +98,9 @@ def test_cotrained_loss_trajectories_match():
         out = ref_model.run_iter(t_ro[idx], t_rd[idx], t_radii[idx],
                                  mode="train", rgb_target=t_rgb[idx])
         loss = (torch.nn.functional.mse_loss(out[0]["rgb"], t_rgb[idx])
-                + torch.nn.functional.mse_loss(out[1]["rgb"], t_rgb[idx])
-                + 0.1 * out[1]["dp_loss"].mean())
+                + torch.nn.functional.mse_loss(out[1]["rgb"], t_rgb[idx]))
+        if is_dd:
+            loss = loss + 0.1 * out[1]["dp_loss"].mean()
         loss.backward()
         for opt in optims:
             opt.step()
@@ -106,20 +117,41 @@ def test_cotrained_loss_trajectories_match():
     state = state.replace(params=params0, opt_state=tx.init(params0))
     step = jax.jit(make_train_step(cfg, pipe))
     jax_losses = []
-    for i in range(N_ITERS):
+    for i in range(n_iters):
         idx = idx_stream[i]
         batch = {"origins": jnp.asarray(ro[idx]), "directions": jnp.asarray(rd[idx]),
                  "radii": jnp.asarray(radii[idx]), "rgb": jnp.asarray(rgb[idx])}
         state, m = step(state, batch)
         jax_losses.append(float(m["loss"]))
 
+    return ref_losses, jax_losses
+
+
+def _assert_trajectories_match(ref_losses, jax_losses, tol=0.35):
     ref_start, ref_end = np.mean(ref_losses[:10]), np.mean(ref_losses[-20:])
     jax_start, jax_end = np.mean(jax_losses[:10]), np.mean(jax_losses[-20:])
 
-    # Both must learn, and end losses must agree within 35%.
+    # Both must learn, and end losses must agree within tol.
     assert ref_end < ref_start * 0.8
     assert jax_end < jax_start * 0.8
-    assert abs(jax_end - ref_end) / ref_end < 0.35, (
+    assert abs(jax_end - ref_end) / ref_end < tol, (
         f"trajectories diverged: torch {ref_start:.4f}->{ref_end:.4f}, "
         f"jax {jax_start:.4f}->{jax_end:.4f}"
     )
+
+
+@requires_reference
+def test_cotrained_ddnerf_llff():
+    _assert_trajectories_match(*_cotrain("DDNerfModel", "llff"))
+
+
+@requires_reference
+def test_cotrained_ddnerf_blender():
+    """Blender regime: eps-masked pdf + the empty-ray dp-loss filter path."""
+    _assert_trajectories_match(*_cotrain("DDNerfModel", "blender"))
+
+
+@requires_reference
+def test_cotrained_mipnerf_llff():
+    """Shared-net family (GeneralMipNerfModel): one Adam on the shared MLP."""
+    _assert_trajectories_match(*_cotrain("GeneralMipNerfModel", "llff"))
