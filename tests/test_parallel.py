@@ -231,3 +231,68 @@ def test_sharded_renderer_matches_single_device():
 
     np.testing.assert_allclose(out1[1]["rgb"], out8[1]["rgb"], rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(out1[1]["depth"], out8[1]["depth"], rtol=2e-3, atol=2e-4)
+
+
+@requires_multidevice
+def test_store_sharded_step_with_microbatch():
+    """parallel.microbatch_rays composes with the mesh store path: the scan
+    chunks stay ray-sharded and the result matches the un-microbatched
+    sharded step (deterministic cfg)."""
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.parallel.distributed import build_sharded_store
+
+    cfg = tiny_cfg()
+    train_ds, _, cfg = get_datasets(cfg)
+    mesh = pmesh.make_mesh(8)
+    store = build_sharded_store(mesh, train_ds.device_store())
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+
+    base = cfg.replace_at("parallel.donate_state", False)
+    s_ref, m_ref = pmesh.make_sharded_store_train_step(base, pipe, mesh)(state, store)
+
+    cfg_mb = base.replace_at("parallel.microbatch_rays", 16)
+    s_mb, m_mb = pmesh.make_sharded_store_train_step(
+        cfg_mb, NerfPipeline(cfg_mb), mesh
+    )(state, store)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_mb["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_mb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+@requires_multidevice
+def test_store_sharded_step_stacked_scan():
+    """stack_steps: K steps in one dispatch over the sharded store, metrics
+    stacked [K] (the block-mode train driver's mesh path)."""
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.parallel.distributed import build_sharded_store
+
+    cfg = tiny_cfg()
+    train_ds, _, cfg = get_datasets(cfg)
+    cfg = cfg.replace_at("parallel.donate_state", False)
+    mesh = pmesh.make_mesh(8)
+    store = build_sharded_store(mesh, train_ds.device_store())
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+
+    # 3 single steps vs one stacked block of 3 — same rng folding per step.
+    single = pmesh.make_sharded_store_train_step(cfg, pipe, mesh)
+    s1 = state
+    singles = []
+    for _ in range(3):
+        s1, m = single(s1, store)
+        singles.append(float(m["loss"]))
+
+    stacked_step = pmesh.make_sharded_store_train_step(cfg, pipe, mesh,
+                                                       stack_steps=3)
+    s3, stacked = stacked_step(state, store)
+    assert stacked["loss"].shape == (3,)
+    np.testing.assert_allclose(np.asarray(stacked["loss"]), singles, rtol=1e-5)
+    assert int(s3.step) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
