@@ -68,7 +68,11 @@ def eval_model(
         state = manager.restore(state, step=checkpoint_step)
 
     sched = ScheduleValues.for_eval(cfg)  # eval-time fixup (eval_nerf.py:53-55)
-    renderer = ImageRenderer(cfg, pipeline, mode="render")
+    # Multi-chip: pixels shard over the mesh (render-tile parallelism), same
+    # as the train loop's validation renderer.
+    from ddnerf_tpu.parallel.mesh import maybe_mesh
+
+    renderer = ImageRenderer(cfg, pipeline, maybe_mesh(cfg), mode="render")
 
     # Depth-analysis pass (eval_nerf.py:66-89).
     if cfg.train_params.depth_analysis_rays:

@@ -43,6 +43,15 @@ def mesh_from_config(cfg: Config) -> Mesh:
     return make_mesh(cfg.parallel.num_devices, cfg.parallel.data_axis)
 
 
+def maybe_mesh(cfg: Config):
+    """The mesh every driver (train / eval / video) should run on: all
+    visible devices unless the config pins ``parallel.num_devices: 1``.
+    Returns None on a single device (plain jit paths)."""
+    if jax.device_count() > 1 and cfg.parallel.num_devices != 1:
+        return mesh_from_config(cfg)
+    return None
+
+
 def ray_sharding(mesh: Mesh) -> NamedSharding:
     """Shard dim 0 (rays / pixels) over the data axis."""
     return NamedSharding(mesh, P(mesh.axis_names[0]))

@@ -140,6 +140,10 @@ class ImageRenderer:
             return self._ondevice_render(params, origins, directions, radii,
                                          rng, sched)
         chunk = min(self.chunk, n) if n else self.chunk
+        # Sharded chunks must divide evenly over the mesh; round up and let
+        # the per-chunk padding absorb the remainder.
+        width = int(self.mesh.devices.size)
+        chunk = -(-chunk // width) * width
 
         outs: Dict[int, Dict[str, list]] = {0: {}, 1: {}}
         for start in range(0, n, chunk):

@@ -40,7 +40,9 @@ def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
 
     # Video frames need only the fine rgb + disparity — fetching fewer maps
     # halves the device->host transfer per frame.
-    renderer = ImageRenderer(cfg, pipeline, mode="render",
+    from ddnerf_tpu.parallel.mesh import maybe_mesh
+
+    renderer = ImageRenderer(cfg, pipeline, maybe_mesh(cfg), mode="render",
                              extract_keys=("rgb", "disp"))
     h, w = val_ds.H, val_ds.W
 

@@ -56,11 +56,9 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
     pipeline = NerfPipeline(cfg)
     state = create_train_state(cfg, pipeline, rng)
 
-    mesh = None
-    if jax.device_count() > 1 and cfg.parallel.num_devices != 1:
-        from ddnerf_tpu.parallel.mesh import make_mesh
+    from ddnerf_tpu.parallel.mesh import maybe_mesh
 
-        mesh = make_mesh(cfg.parallel.num_devices)
+    mesh = maybe_mesh(cfg)
 
     manager = ckpt.CheckpointManager(
         logdir, max_to_keep=cfg.experiment.max_keep_ckpts

@@ -320,3 +320,50 @@ def test_block_mode_matches_per_iter_driver(tmp_path):
                       jax.tree_util.tree_leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_eval_driver_mesh_matches_single_device(tmp_path):
+    """eval_model must produce the same metrics whether it renders on one
+    device or sharded over the 8-device mesh (render-tile parallelism is
+    now wired into the eval/video drivers, not just the train loop)."""
+    import jax
+    import json
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = Config.from_dict(
+        {
+            "experiment": {
+                "id": "mesh_eval", "logdir": str(tmp_path), "train_iters": 3,
+                "validate_every": 10, "save_every": 2, "print_every": 10,
+            },
+            "nerf": {
+                "type": "DDNerfModel",
+                "coarse_hidden_size": 16,
+                "fine_hidden_size": 16,
+                "train": {"num_coarse": 4, "num_fine": 4, "num_random_rays": 64,
+                          "radiance_field_noise_std": 0.0, "chunksize": 1024},
+                "validation": {"num_coarse": 4, "num_fine": 4, "perturb": False,
+                               "radiance_field_noise_std": 0.0,
+                               "chunksize": 1024},
+            },
+            "dataset": {"type": "blender", "synthetic": True},
+            "parallel": {"num_devices": 1},
+        }
+    ).resolved()
+    state, logdir = train(cfg, use_tensorboard=False, verbose=False)
+
+    from ddnerf_tpu.eval.evaluate import eval_model
+
+    summary_1, _ = eval_model(logdir, max_images=1)
+
+    # Re-point the snapshot at the full mesh and evaluate again.
+    snap = os.path.join(logdir, "config.yml")
+    text = open(snap).read().replace("num_devices: 1", "num_devices: 0")
+    open(snap, "w").write(text)
+    summary_8, _ = eval_model(logdir, max_images=1)
+
+    for key in ("psnr_fine", "psnr_coarse", "ssim_v2_fine"):
+        np.testing.assert_allclose(summary_1[key], summary_8[key],
+                                   rtol=1e-3, atol=1e-4)
