@@ -186,6 +186,10 @@ class ParallelConfig:
     # so large batches run fastest as a scan over ~2048-ray chunks.
     # 0 = no microbatching.
     microbatch_rays: int = 0
+    # Per-chip HBM budget for the device-resident ray store; datasets whose
+    # per-chip share exceeds it fall back to host-side sampling + per-step
+    # transfer (the reference's only mode, dataset.py:50-59).
+    max_store_gb: float = 6.0
 
 
 @dataclass(frozen=True)

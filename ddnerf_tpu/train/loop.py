@@ -85,7 +85,10 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
     # (the reference's only mode).
     host_store = train_ds.device_store()
     n_store_shards = int(mesh.devices.size) if mesh is not None else 1
-    use_device_store = host_store.nbytes / n_store_shards < 6 * 1024**3
+    use_device_store = (
+        host_store.nbytes / n_store_shards
+        < cfg.parallel.max_store_gb * 1024**3
+    )
     if use_device_store:
         if mesh is not None:
             from ddnerf_tpu.parallel import distributed as dist

@@ -367,3 +367,32 @@ def test_eval_driver_mesh_matches_single_device(tmp_path):
     for key in ("psnr_fine", "psnr_coarse", "ssim_v2_fine"):
         np.testing.assert_allclose(summary_1[key], summary_8[key],
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_host_sampling_fallback_path(tmp_path):
+    """parallel.max_store_gb below the dataset size forces the host-side
+    sampling + per-step transfer branch (the reference's only mode) — on a
+    mesh it routes through the batch-sharded step.  The loop must train and
+    checkpoint identically well through that branch."""
+    cfg = Config.from_dict(
+        {
+            "experiment": {
+                "id": "hostfall", "logdir": str(tmp_path), "train_iters": 6,
+                "validate_every": 5, "save_every": 5, "print_every": 5,
+            },
+            "nerf": {
+                "type": "DDNerfModel",
+                "coarse_hidden_size": 16,
+                "fine_hidden_size": 16,
+                "train": {"num_coarse": 4, "num_fine": 4, "num_random_rays": 64,
+                          "radiance_field_noise_std": 0.0, "chunksize": 1024},
+                "validation": {"num_coarse": 4, "num_fine": 4, "perturb": False,
+                               "chunksize": 1024},
+            },
+            "dataset": {"type": "blender", "synthetic": True},
+            "parallel": {"max_store_gb": 0.0},  # force the fallback
+        }
+    ).resolved()
+    state, logdir = train(cfg, use_tensorboard=False, verbose=False)
+    assert int(state.step) == 6
+    assert os.path.isdir(os.path.join(logdir, "checkpoint"))
