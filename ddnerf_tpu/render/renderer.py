@@ -115,6 +115,95 @@ class ImageRenderer:
                     result[i][name] = arr.reshape(k * chunk, *arr.shape[2:])[:n]
         return result
 
+    # -------------------------------------------------- video fast path
+
+    def render_video_frame(self, params, origins, directions, radii,
+                           rng=None, sched: Optional[ScheduleValues] = None):
+        """Render one video frame as ``(rgb_u8 [H,W,3], disp_u8 [H,W])``
+        with the uint8 quantization done ON DEVICE — the host fetch shrinks
+        ~4x vs pulling f32 maps (matters on slow links; video frames are
+        quantized anyway).  Reproduces viz.cast_to_image /
+        cast_to_disparity_image bit-for-bit (same clip/minmax/truncation).
+
+        Single-device only; with a mesh this falls back to the f32 path +
+        host casts (a real slice has fast host links).
+        """
+        from ddnerf_tpu.viz.visualization import (
+            cast_to_disparity_image,
+            cast_to_image,
+        )
+
+        h, w = origins.shape[:2]
+        if self.mesh is not None:
+            out = self.render_image(params, origins, directions, radii,
+                                    rng=rng, sched=sched)
+            return (
+                cast_to_image(out[1]["rgb"]).transpose(1, 2, 0),
+                cast_to_disparity_image(out[1]["disp"]).squeeze(),
+            )
+
+        if sched is None:
+            sched = ScheduleValues.for_eval(self.cfg)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        origins = np.asarray(origins, np.float32).reshape(-1, 3)
+        directions = np.asarray(directions, np.float32).reshape(-1, 3)
+        radii = np.asarray(radii, np.float32).reshape(-1, 1)
+        n = origins.shape[0]
+        chunk = min(self.chunk, n)
+        k = -(-n // chunk)
+
+        def pad_reshape(x):
+            padn = k * chunk - n
+            if padn:
+                x = np.concatenate([x, np.repeat(x[-1:], padn, axis=0)], axis=0)
+            return jnp.asarray(x.reshape(k, chunk, x.shape[-1]))
+
+        key = ("video", k, chunk)
+        if key not in self._ondevice_cache:
+            eval_fn = self._eval_fn
+
+            @jax.jit
+            def render_frame(params, ro, rd, rr, keys, sched):
+                def body(args):
+                    ro_c, rd_c, rr_c, key_c = args
+                    return eval_fn(
+                        params,
+                        {"origins": ro_c, "directions": rd_c, "radii": rr_c},
+                        key_c,
+                        sched,
+                    )
+
+                out = jax.lax.map(body, (ro, rd, rr, keys))
+                rgb = out[1]["rgb"].reshape(-1, 3)
+                disp = out[1]["disp"].reshape(-1)
+                # Quantization identical to the host casts.  The padded tail
+                # duplicates the last valid ray, so the disparity min/max
+                # over the padded array equals the valid-region min/max.
+                rgb_u8 = (jnp.clip(rgb, 0.0, 1.0) * 255).astype(jnp.uint8)
+                d = jnp.nan_to_num(disp, nan=0.0, posinf=0.0, neginf=0.0)
+                lo = jnp.min(d)
+                span = jnp.max(d) - lo
+                norm = (d - lo) / jnp.where(span > 0, span, 1.0)
+                disp_u8 = (jnp.clip(norm, 0.0, 1.0) * 255).astype(jnp.uint8)
+                return rgb_u8, disp_u8
+
+            self._ondevice_cache[key] = render_frame
+
+        keys = jax.random.split(rng, k)
+        rgb_u8, disp_u8 = self._ondevice_cache[key](
+            params,
+            pad_reshape(origins),
+            pad_reshape(directions),
+            pad_reshape(radii),
+            keys,
+            sched,
+        )
+        return (
+            np.asarray(rgb_u8)[:n].reshape(h, w, 3),
+            np.asarray(disp_u8)[:n].reshape(h, w),
+        )
+
     # ------------------------------------------------------------ flat rays
 
     def render_flat(

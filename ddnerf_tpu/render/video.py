@@ -20,7 +20,6 @@ from ddnerf_tpu.models.nerf import NerfPipeline, ScheduleValues
 from ddnerf_tpu.render.renderer import ImageRenderer
 from ddnerf_tpu.train import checkpoint as ckpt
 from ddnerf_tpu.train.state import create_train_state
-from ddnerf_tpu.viz.visualization import cast_to_disparity_image, cast_to_image
 
 
 def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
@@ -62,11 +61,12 @@ def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
     for idx in range(n):
         ro, rd, radii = val_ds.get_next_render_pose()
         t0 = time.time()
-        out = renderer.render_image(state.params, ro, rd, radii, sched=sched)
+        # uint8 quantization happens on device (renderer.render_video_frame)
+        # — ~4x less device->host transfer per frame than f32 maps.
+        rgb, disp = renderer.render_video_frame(
+            state.params, ro, rd, radii, sched=sched
+        )
         times.append(time.time() - t0)
-
-        rgb = cast_to_image(out[1]["rgb"]).transpose(1, 2, 0)  # H,W,3 uint8
-        disp = cast_to_disparity_image(out[1]["disp"]).squeeze()  # H,W uint8
         disp3 = np.stack([disp] * 3, axis=-1)
         frame = np.concatenate([rgb, disp3], axis=1)  # H, 2W, 3
         writer.write(frame[..., ::-1])  # cv2 expects BGR

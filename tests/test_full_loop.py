@@ -396,3 +396,44 @@ def test_host_sampling_fallback_path(tmp_path):
     state, logdir = train(cfg, use_tensorboard=False, verbose=False)
     assert int(state.step) == 6
     assert os.path.isdir(os.path.join(logdir, "checkpoint"))
+
+
+def test_render_video_frame_matches_host_casts(trained_logdir):
+    """The on-device uint8 video quantization must match the host casts
+    (cast_to_image / cast_to_disparity_image) applied to the f32 maps, up
+    to one quantization step of float fusion rounding."""
+    import jax
+
+    from ddnerf_tpu.config import Config as _C
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.models.nerf import NerfPipeline, ScheduleValues
+    from ddnerf_tpu.render.renderer import ImageRenderer
+    from ddnerf_tpu.train import checkpoint as ckpt
+    from ddnerf_tpu.train.state import create_train_state
+    from ddnerf_tpu.viz.visualization import (
+        cast_to_disparity_image,
+        cast_to_image,
+    )
+
+    cfg, logdir, _ = trained_logdir
+    cfg2 = ckpt.load_config_snapshot(logdir)
+    _, val_ds, cfg2 = get_datasets(cfg2)
+    pipe = NerfPipeline(cfg2)
+    state = create_train_state(cfg2, pipe, jax.random.PRNGKey(0))
+    state = ckpt.CheckpointManager(logdir).restore(state)
+    sched = ScheduleValues.for_eval(cfg2)
+
+    renderer = ImageRenderer(cfg2, pipe, mode="render",
+                             extract_keys=("rgb", "disp"))
+    ro, rd, radii = val_ds._bundle(val_ds.poses[0])
+
+    out = renderer.render_image(state.params, ro, rd, radii, sched=sched)
+    want_rgb = cast_to_image(out[1]["rgb"]).transpose(1, 2, 0)
+    want_disp = cast_to_disparity_image(out[1]["disp"]).squeeze()
+
+    rgb, disp = renderer.render_video_frame(state.params, ro, rd, radii,
+                                            sched=sched)
+    assert rgb.dtype == np.uint8 and disp.dtype == np.uint8
+    assert rgb.shape == want_rgb.shape and disp.shape == want_disp.shape
+    assert np.max(np.abs(rgb.astype(int) - want_rgb.astype(int))) <= 1
+    assert np.max(np.abs(disp.astype(int) - want_disp.astype(int))) <= 1
