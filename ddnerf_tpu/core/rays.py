@@ -59,11 +59,49 @@ def get_ray_bundle(height: int, width: int, focal_length, c2w: np.ndarray):
     )
 
 
-def ndc_mipnerf_rays(H, W, focal, rays_o, rays_d, near=1.0):
+def get_ray_bundle_device(height: int, width: int, focal_length, c2w):
+    """Device-side (jnp) twin of :func:`get_ray_bundle`, same quirks
+    (epsilon nudge, x-neighbor radii).  Used by the video renderer so each
+    frame uploads a [4,4] pose instead of H*W*7 floats of precomputed rays
+    — the ray math is pure arithmetic and fuses into the render program.
+    ``height``/``width`` are static; ``focal_length``/``c2w`` may be traced.
+    """
+    import jax.numpy as jnp
+
+    c2w = jnp.asarray(c2w, jnp.float32)
+    ii, jj = jnp.meshgrid(
+        jnp.arange(width, dtype=jnp.float32),
+        jnp.arange(height, dtype=jnp.float32),
+        indexing="xy",
+    )
+    directions = jnp.stack(
+        [
+            (ii - width * 0.5) / focal_length,
+            -(jj - height * 0.5) / focal_length,
+            -jnp.ones_like(ii),
+        ],
+        axis=-1,
+    )
+    ray_directions = jnp.sum(directions[..., None, :] * c2w[:3, :3], axis=-1)
+    ray_origins = jnp.broadcast_to(c2w[:3, -1], ray_directions.shape)
+
+    epsilon = 1e-5
+    ray_origins = jnp.where(ray_origins == 0, epsilon, ray_origins)
+    ray_directions = jnp.where(ray_directions == 0, epsilon, ray_directions)
+
+    dx = jnp.sqrt(jnp.sum((directions[:-1] - directions[1:]) ** 2, -1))
+    dx = jnp.concatenate([dx, dx[-2:-1, :]], axis=0)
+    radii = dx[..., None] * 2.0 / jnp.sqrt(12.0)
+    return ray_origins, ray_directions, radii
+
+
+def ndc_mipnerf_rays(H, W, focal, rays_o, rays_d, near=1.0, xp=np):
     """Project rays to NDC space and recompute mip radii from x/y neighbor
     distances on the NDC origins (reference dataset_helpers.py:3-42).
 
     ``rays_o``/``rays_d``: [H, W, 3].  Returns (rays_o, rays_d, radii[H, W]).
+    ``xp`` selects the array backend: ``np`` for the host loaders (default),
+    ``jax.numpy`` inside jitted render programs (device-side ray gen).
     """
     t = -(near + rays_o[..., 2]) / rays_d[..., 2]
     rays_o = rays_o + t[..., None] * rays_d
@@ -84,15 +122,15 @@ def ndc_mipnerf_rays(H, W, focal, rays_o, rays_d, near=1.0):
     )
     d2 = -2.0 * near / rays_o[..., 2]
 
-    rays_o = np.stack([o0, o1, o2], axis=-1).astype(np.float32)
-    rays_d = np.stack([d0, d1, d2], axis=-1).astype(np.float32)
+    rays_o = xp.stack([o0, o1, o2], axis=-1).astype(xp.float32)
+    rays_d = xp.stack([d0, d1, d2], axis=-1).astype(xp.float32)
 
     mat = rays_o
-    dx = np.sqrt(np.sum((mat[:-1, :, :] - mat[1:, :, :]) ** 2, -1))
-    dx = np.concatenate([dx, dx[-2:-1, :]], axis=0)
-    dy = np.sqrt(np.sum((mat[:, :-1, :] - mat[:, 1:, :]) ** 2, -1))
-    dy = np.concatenate([dy, dy[:, -2:-1]], axis=1)
-    radii = ((0.5 * (dx + dy)) * 2.0 / np.sqrt(12.0)).astype(np.float32)
+    dx = xp.sqrt(xp.sum((mat[:-1, :, :] - mat[1:, :, :]) ** 2, -1))
+    dx = xp.concatenate([dx, dx[-2:-1, :]], axis=0)
+    dy = xp.sqrt(xp.sum((mat[:, :-1, :] - mat[:, 1:, :]) ** 2, -1))
+    dy = xp.concatenate([dy, dy[:, -2:-1]], axis=1)
+    radii = ((0.5 * (dx + dy)) * 2.0 / xp.sqrt(12.0)).astype(xp.float32)
 
     return rays_o, rays_d, radii
 

@@ -59,12 +59,12 @@ def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
         n = min(n, max_frames)
     times = []
     for idx in range(n):
-        ro, rd, radii = val_ds.get_next_render_pose()
+        pose = val_ds.render_poses[idx]
         t0 = time.time()
-        # uint8 quantization happens on device (renderer.render_video_frame)
-        # — ~4x less device->host transfer per frame than f32 maps.
-        rgb, disp = renderer.render_video_frame(
-            state.params, ro, rd, radii, sched=sched
+        # Ray generation AND uint8 quantization run on device: the frame
+        # upload is one [4,4] pose, the download two uint8 maps.
+        rgb, disp = renderer.render_video_frame_from_pose(
+            state.params, pose, h, w, val_ds.focal, sched=sched
         )
         times.append(time.time() - t0)
         disp3 = np.stack([disp] * 3, axis=-1)

@@ -437,3 +437,64 @@ def test_render_video_frame_matches_host_casts(trained_logdir):
     assert rgb.shape == want_rgb.shape and disp.shape == want_disp.shape
     assert np.max(np.abs(rgb.astype(int) - want_rgb.astype(int))) <= 1
     assert np.max(np.abs(disp.astype(int) - want_disp.astype(int))) <= 1
+
+
+def test_render_video_frame_from_pose_matches_ray_path(trained_logdir):
+    """Device-side ray generation (pose-only upload) must reproduce the
+    host-bundled ray path's uint8 frame (±1 quantization step)."""
+    import jax
+
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.models.nerf import NerfPipeline, ScheduleValues
+    from ddnerf_tpu.render.renderer import ImageRenderer
+    from ddnerf_tpu.train import checkpoint as ckpt
+    from ddnerf_tpu.train.state import create_train_state
+
+    cfg, logdir, _ = trained_logdir
+    cfg2 = ckpt.load_config_snapshot(logdir)
+    _, val_ds, cfg2 = get_datasets(cfg2)
+    pipe = NerfPipeline(cfg2)
+    state = create_train_state(cfg2, pipe, jax.random.PRNGKey(0))
+    state = ckpt.CheckpointManager(logdir).restore(state)
+    sched = ScheduleValues.for_eval(cfg2)
+
+    renderer = ImageRenderer(cfg2, pipe, mode="render",
+                             extract_keys=("rgb", "disp"))
+    pose = val_ds.render_poses[0]
+    ro, rd, radii = val_ds._bundle(pose)
+
+    want_rgb, want_disp = renderer.render_video_frame(
+        state.params, ro, rd, radii, sched=sched)
+    rgb, disp = renderer.render_video_frame_from_pose(
+        state.params, pose, val_ds.H, val_ds.W, val_ds.focal, sched=sched)
+
+    assert np.max(np.abs(rgb.astype(int) - want_rgb.astype(int))) <= 1
+    assert np.max(np.abs(disp.astype(int) - want_disp.astype(int))) <= 1
+
+
+def test_device_ray_bundle_matches_host():
+    """get_ray_bundle_device must reproduce the host bundle (incl. the NDC
+    projection via the xp backend switch) to f32 precision."""
+    import jax.numpy as jnp
+
+    from ddnerf_tpu.core.rays import (
+        get_ray_bundle,
+        get_ray_bundle_device,
+        ndc_mipnerf_rays,
+    )
+    from ddnerf_tpu.data.synthetic import pose_spherical
+
+    pose = pose_spherical(37.0, -25.0, 4.0)
+    h, w, focal = 12, 16, 14.0
+    ro, rd, rr = get_ray_bundle(h, w, focal, pose)
+    dro, drd, drr = get_ray_bundle_device(h, w, focal, pose)
+    np.testing.assert_allclose(np.asarray(dro), ro, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(drd), rd, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(drr), rr, rtol=1e-6, atol=1e-9)
+
+    no, nd, nr = ndc_mipnerf_rays(h, w, focal, ro, rd)
+    jno, jnd, jnr = ndc_mipnerf_rays(h, w, focal, jnp.asarray(ro),
+                                     jnp.asarray(rd), xp=jnp)
+    np.testing.assert_allclose(np.asarray(jno), no, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jnd), nd, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jnr), nr, rtol=1e-5, atol=1e-8)
