@@ -47,8 +47,12 @@ def eval_model(
     evaluate instead of the logdir's orbax checkpoint (migration path —
     train/torch_compat.py).  ``checkpoint_step`` selects a retained orbax
     step (reference ``--checkpoint``, eval_nerf.py:173-178); default latest."""
+    # Pod hygiene: every process participates in the sharded render compute,
+    # but only process 0 writes the shared artifacts.
+    primary = jax.process_index() == 0
     savedir = os.path.join(basedir, "validation")
-    os.makedirs(savedir, exist_ok=True)
+    if primary:
+        os.makedirs(savedir, exist_ok=True)
     results_file = os.path.join(savedir, "results.txt")
 
     cfg = ckpt.load_config_snapshot(basedir)
@@ -75,7 +79,7 @@ def eval_model(
     renderer = ImageRenderer(cfg, pipeline, maybe_mesh(cfg), mode="render")
 
     # Depth-analysis pass (eval_nerf.py:66-89).
-    if cfg.train_params.depth_analysis_rays:
+    if cfg.train_params.depth_analysis_rays and primary:
         ray_plots_dir = os.path.join(savedir, "rays")
         os.makedirs(ray_plots_dir, exist_ok=True)
         da_o, da_d, da_r, da_depth, _ = val_ds.load_depth_analysis_rays(cfg)
@@ -111,14 +115,14 @@ def eval_model(
         out = renderer.render_image(state.params, ro, rd, radii, sched=sched)
         model_time.append(time.time() - t0)
 
-        if extract_ptc:
+        if extract_ptc and primary:
             # xyz = rd * depth + ro (eval_nerf.py:113-122)
             xyz = rd * out[1]["depth"][..., None] + ro
             rgbs = np.clip(out[1]["rgb"], 0, 1)
             ptc = np.concatenate([xyz.reshape(-1, 3), rgbs.reshape(-1, 3)], axis=-1)
             np.save(os.path.join(savedir, f"ptc_{i}.npy"), ptc)
 
-        if save_images:
+        if save_images and primary:
             img_dir = os.path.join(savedir, str(i))
             save_validation_images(out, img_dir)
             import imageio.v2 as imageio
@@ -146,7 +150,8 @@ def eval_model(
         print(f"image {i}: " + " ".join(f"{k}={v:.4f}" for k, v in res.items()))
 
     summary["model_time_sec"] = model_time
-    write_dicts_to_a_file(summary, per_image, results_file)
+    if primary:
+        write_dicts_to_a_file(summary, per_image, results_file)
     print(f"avg model time per image: {np.mean(model_time):.2f}s")
     print(f"results written to {results_file}")
     return summary, per_image

@@ -24,8 +24,11 @@ from ddnerf_tpu.train.state import create_train_state
 
 def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
                        max_frames: int = 0, checkpoint_step: int = None):
+    # Pod hygiene: all processes render (sharded compute), process 0 writes.
+    primary = jax.process_index() == 0
     savedir = os.path.join(basedir, "video")
-    os.makedirs(savedir, exist_ok=True)
+    if primary:
+        os.makedirs(savedir, exist_ok=True)
 
     cfg = ckpt.load_config_snapshot(basedir)
     _, val_ds, cfg = get_datasets(cfg)
@@ -47,12 +50,14 @@ def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
 
     import cv2
 
-    writer = cv2.VideoWriter(
-        os.path.join(savedir, "video.avi"),
-        cv2.VideoWriter_fourcc(*"DIVX"),
-        fps,
-        (2 * w, h),
-    )
+    writer = None
+    if primary:
+        writer = cv2.VideoWriter(
+            os.path.join(savedir, "video.avi"),
+            cv2.VideoWriter_fourcc(*"DIVX"),
+            fps,
+            (2 * w, h),
+        )
 
     n = len(val_ds.render_poses)
     if max_frames:
@@ -69,14 +74,16 @@ def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
         times.append(time.time() - t0)
         disp3 = np.stack([disp] * 3, axis=-1)
         frame = np.concatenate([rgb, disp3], axis=1)  # H, 2W, 3
-        writer.write(frame[..., ::-1])  # cv2 expects BGR
+        if writer is not None:
+            writer.write(frame[..., ::-1])  # cv2 expects BGR
 
-        if save_images:
+        if save_images and primary:
             import imageio.v2 as imageio
 
             imageio.imwrite(os.path.join(savedir, f"frame_{idx:04d}.png"), frame)
         print(f"frame {idx}/{n} ({times[-1]:.2f}s)")
 
-    writer.release()
-    print(f"avg render time per frame: {np.mean(times):.2f}s")
-    print(f"video written to {os.path.join(savedir, 'video.avi')}")
+    if writer is not None:
+        writer.release()
+        print(f"avg render time per frame: {np.mean(times):.2f}s")
+        print(f"video written to {os.path.join(savedir, 'video.avi')}")

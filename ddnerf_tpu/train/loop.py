@@ -45,12 +45,15 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
     state steps under ``logdir`` (TensorBoard-viewable; SURVEY.md §5 tracing).
     """
     logdir = os.path.join(cfg.experiment.logdir, cfg.experiment.id)
-    os.makedirs(logdir, exist_ok=True)
+    primary = jax.process_index() == 0  # pod hygiene: one writer per logdir
+    if primary:
+        os.makedirs(logdir, exist_ok=True)
     doc = Documenter(logdir, use_tensorboard=use_tensorboard)
 
     # Dataset build may rescale near/far (pose normalization).
     train_ds, val_ds, cfg = get_datasets(cfg)
-    ckpt.save_config_snapshot(cfg, logdir)
+    if primary:
+        ckpt.save_config_snapshot(cfg, logdir)
 
     rng = jax.random.PRNGKey(cfg.experiment.randomseed)
     pipeline = NerfPipeline(cfg)

@@ -28,11 +28,24 @@ from ddnerf_tpu.viz.visualization import (
 
 
 class Documenter:
-    def __init__(self, logdir: str, use_tensorboard: bool = True):
-        os.makedirs(logdir, exist_ok=True)
+    def __init__(self, logdir: str, use_tensorboard: bool = True,
+                 primary: bool = None):
+        """``primary``: on multi-host pods only one process may write the
+        shared logdir; defaults to ``jax.process_index() == 0``.  Non-primary
+        Documenters are no-ops (state is replicated, so their scalars would
+        be duplicates)."""
+        if primary is None:
+            import jax
+
+            primary = jax.process_index() == 0
+        self.primary = primary
         self.logdir = logdir
-        self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
+        self._jsonl = None
         self.writer = None
+        if not primary:
+            return
+        os.makedirs(logdir, exist_ok=True)
+        self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
         if use_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
@@ -48,6 +61,8 @@ class Documenter:
             self.writer.add_scalar(tag, float(value), idx)
 
     def _jsonl_write(self, record: dict):
+        if self._jsonl is None:
+            return
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
 
@@ -134,6 +149,7 @@ class Documenter:
             )
 
     def close(self):
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self.writer is not None:
             self.writer.close()

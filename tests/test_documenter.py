@@ -103,3 +103,18 @@ def test_valid_iter_with_empty_histograms(tmp_path):
     }
     doc.write_valid_iter(0, _metrics(), out, img, is_ddnerf=True)
     doc.close()
+
+
+def test_non_primary_documenter_is_noop(tmp_path):
+    """On multi-host pods only process 0 writes the shared logdir; a
+    non-primary Documenter must produce no files and accept all calls."""
+    logdir = str(tmp_path / "sub")
+    doc = Documenter(logdir, use_tensorboard=True, primary=False)
+    doc.write_train_iter(0, _metrics())
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (4, 4, 3)).astype(np.float32)
+    disp = rng.uniform(0, 1, (4, 4)).astype(np.float32)
+    out = {0: {"rgb": img, "disp": disp}, 1: {"rgb": img, "disp": disp}}
+    doc.write_valid_iter(0, _metrics(dd=False), out, img, is_ddnerf=False)
+    doc.close()
+    assert not os.path.exists(logdir)
