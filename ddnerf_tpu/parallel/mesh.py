@@ -203,9 +203,12 @@ def make_sharded_eval_step(cfg: Config, pipeline, mesh: Mesh,
     repl = replicated(mesh)
     rays = ray_sharding(mesh)
     batch_sharding = {k: rays for k in ("origins", "directions", "radii")}
-    # Output shardings are propagated by the SPMD partitioner: per-ray arrays
-    # stay ray-sharded, scalar losses resolve to replicated.
+    # Outputs are REPLICATED (an XLA all-gather over the mesh): the host
+    # fetches whole maps, and on a multi-process pod every host can read
+    # them locally — ray-sharded outputs would span non-addressable devices
+    # and be unfetchable off-process.
     return jax.jit(
         eval_fn,
         in_shardings=(repl, batch_sharding, repl, repl),
+        out_shardings=repl,
     )

@@ -191,3 +191,81 @@ def test_two_process_cpu_pod(tmp_path):
         assert lines, f"no RESULT line:\n{out}"
         losses.append(lines[0].split()[2])
     assert losses[0] == losses[1]
+
+
+_TRAIN_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    proc_id = int(sys.argv[1]); port = sys.argv[2]; logroot = sys.argv[3]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=2, process_id=proc_id,
+    )
+    sys.path.insert(0, "/root/repo")
+    from ddnerf_tpu.config import Config
+    from ddnerf_tpu.train.loop import train
+
+    cfg = Config.from_dict({
+        "experiment": {
+            "id": "pod", "logdir": logroot, "train_iters": 6,
+            "validate_every": 5, "save_every": 5, "print_every": 5,
+        },
+        "nerf": {
+            "type": "DDNerfModel",
+            "coarse_hidden_size": 16, "fine_hidden_size": 16,
+            "train": {"num_coarse": 4, "num_fine": 4, "num_random_rays": 16,
+                      "radiance_field_noise_std": 0.0, "perturb": False,
+                      "chunksize": 1024},
+            "validation": {"num_coarse": 4, "num_fine": 4, "perturb": False,
+                           "chunksize": 1024},
+        },
+        "dataset": {"type": "blender", "synthetic": True},
+        "parallel": {"donate_state": False},
+    }).resolved()
+    state, logdir = train(cfg, use_tensorboard=False, verbose=False)
+    assert int(state.step) == 6
+    print(f"RESULT {proc_id} step={int(state.step)}", flush=True)
+    """
+)
+
+
+def test_two_process_full_train_loop(tmp_path):
+    """The COMPLETE train() driver on a real 2-process CPU pod: sharded
+    store assembly, sharded train step, sharded validation render,
+    collective orbax save, and process-0-only artifact writing."""
+    script = tmp_path / "train_worker.py"
+    script.write_text(_TRAIN_WORKER)
+    logroot = str(tmp_path / "logs")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port), logroot],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+        assert "RESULT" in out
+
+    logdir = os.path.join(logroot, "pod")
+    # process-0-only artifacts, written exactly once
+    assert os.path.exists(os.path.join(logdir, "config.yml"))
+    assert os.path.exists(os.path.join(logdir, "metrics.jsonl"))
+    # collective orbax checkpoint restored by step
+    assert os.path.isdir(os.path.join(logdir, "checkpoint"))
+    import json
+
+    with open(os.path.join(logdir, "metrics.jsonl")) as f:
+        kinds = [json.loads(l)["kind"] for l in f]
+    assert kinds.count("train") >= 1 and kinds.count("validation") >= 1
