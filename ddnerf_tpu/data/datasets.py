@@ -148,6 +148,15 @@ class ValRayDataset:
         self.current_idx = (self.current_idx + 1) % self.images.shape[0]
         return ro, rd, radii, gt
 
+    def get_next_validation_pose(self):
+        """(pose, gt_image) twin of :meth:`get_next_validation_rays` for
+        device-side ray generation (renderer.render_image_from_pose) —
+        same round-robin semantics, no host ray bundling."""
+        pose = self.poses[self.current_idx]
+        gt = self.images[self.current_idx]
+        self.current_idx = (self.current_idx + 1) % self.images.shape[0]
+        return pose, gt
+
     def get_current_regular_validation_rays(self):
         """Non-NDC rays of the *current* image for depth un-warping
         (dataset.py:150-154).  Note: matches the reference in reading

@@ -110,13 +110,19 @@ def eval_model(
     model_time = []
 
     for i in range(n_images):
-        ro, rd, radii, gt = val_ds.get_next_validation_rays()
+        pose, gt = val_ds.get_next_validation_pose()
         t0 = time.time()
-        out = renderer.render_image(state.params, ro, rd, radii, sched=sched)
+        # Device-side ray generation: the upload is one pose per image.
+        out = renderer.render_image_from_pose(
+            state.params, pose, val_ds.H, val_ds.W, val_ds.focal, sched=sched
+        )
         model_time.append(time.time() - t0)
 
         if extract_ptc and primary:
-            # xyz = rd * depth + ro (eval_nerf.py:113-122)
+            # xyz = rd * depth + ro (eval_nerf.py:113-122); the point cloud
+            # uses the same (possibly NDC-projected) rays the render used,
+            # re-bundled on host for this pose.
+            ro, rd, _ = val_ds._bundle(pose)
             xyz = rd * out[1]["depth"][..., None] + ro
             rgbs = np.clip(out[1]["rgb"], 0, 1)
             ptc = np.concatenate([xyz.reshape(-1, 3), rgbs.reshape(-1, 3)], axis=-1)

@@ -368,6 +368,103 @@ class ImageRenderer:
 
         return {i: {k: fetch(v) for k, v in outs[i].items()} for i in outs}
 
+    # -------------------------------------------- image from camera pose
+
+    def render_image_from_pose(self, params, pose, h, w, focal,
+                               rng=None, sched=None):
+        """Render an [H, W] image straight from a [4,4] (or [3,4]) camera
+        pose: ray generation — including the NDC projection for forward-
+        facing scenes — runs inside the jitted program, so the per-image
+        upload is the pose instead of H*W*7 floats.  Returns the same
+        per-cycle map dicts as :meth:`render_image`.
+
+        Single-device fast path; with a mesh the rays are bundled on host
+        and the sharded chunk path is used.
+        """
+        from ddnerf_tpu.core.rays import (
+            get_ray_bundle,
+            get_ray_bundle_device,
+            ndc_mipnerf_rays,
+        )
+
+        if self.mesh is not None:
+            ro, rd, radii = get_ray_bundle(h, w, focal, pose)
+            if self.cfg.dataset.ndc_rays:
+                ro, rd, radii = ndc_mipnerf_rays(h, w, focal, ro, rd)
+                radii = radii[..., None]
+            return self.render_image(params, ro, rd, radii, rng=rng,
+                                     sched=sched)
+
+        if sched is None:
+            sched = ScheduleValues.for_eval(self.cfg)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        n = h * w
+        chunk = min(self.chunk, n)
+        k = -(-n // chunk)
+        ndc = self.cfg.dataset.ndc_rays
+
+        key = ("image_pose", h, w, k, chunk, ndc)
+        if key not in self._ondevice_cache:
+            eval_fn = self._eval_fn
+
+            @jax.jit
+            def render_all(params, pose, focal, keys, sched):
+                ro, rd, radii = get_ray_bundle_device(h, w, focal, pose)
+                if ndc:
+                    ro, rd, radii = ndc_mipnerf_rays(h, w, focal, ro, rd,
+                                                     xp=jnp)
+                    radii = radii[..., None]
+
+                def flat_pad(x):
+                    x = x.reshape(n, x.shape[-1])
+                    padn = k * chunk - n
+                    if padn:
+                        x = jnp.concatenate(
+                            [x, jnp.broadcast_to(x[-1], (padn, x.shape[-1]))],
+                            axis=0,
+                        )
+                    return x.reshape(k, chunk, x.shape[-1])
+
+                def body(args):
+                    ro_c, rd_c, rr_c, key_c = args
+                    return eval_fn(
+                        params,
+                        {"origins": ro_c, "directions": rd_c, "radii": rr_c},
+                        key_c,
+                        sched,
+                    )
+
+                return jax.lax.map(
+                    body, (flat_pad(ro), flat_pad(rd), flat_pad(radii), keys)
+                )
+
+            self._ondevice_cache[key] = render_all
+
+        keys = jax.random.split(rng, k)
+        out = self._ondevice_cache[key](
+            params, jnp.asarray(pose, jnp.float32),
+            jnp.asarray(focal, jnp.float32), keys, sched,
+        )
+
+        valid = np.full(k, chunk, np.float64)
+        valid[-1] = n - (k - 1) * chunk
+        result: Dict[int, Dict[str, np.ndarray]] = {0: {}, 1: {}}
+        for i in (0, 1):
+            for name in self.extract_keys:
+                if name not in out[i] or out[i][name] is None:
+                    continue
+                arr = np.asarray(out[i][name])  # [k, chunk, ...] or [k]
+                if arr.ndim == 1:  # per-chunk scalar -> valid-weighted mean
+                    result[i][name] = np.sum(arr * valid) / n
+                else:
+                    flat = arr.reshape(k * chunk, *arr.shape[2:])[:n]
+                    if flat.ndim == 2:
+                        result[i][name] = flat.reshape(h, w, -1)
+                    else:
+                        result[i][name] = flat.reshape(h, w)
+        return result
+
     # ------------------------------------------------------------- image
 
     def render_image(
@@ -394,12 +491,16 @@ def render_video_frames(
     mesh=None,
     progress=True,
 ):
-    """Iterate the dataset's render-pose path, yielding per-frame dicts
-    (mirrors render_video.py:73-104's pose loop)."""
+    """Iterate the dataset's render-pose path, yielding per-frame f32 map
+    dicts (mirrors render_video.py:73-104's pose loop).  Library helper for
+    custom pipelines; the video CLI uses the faster uint8 pose path
+    (``render_video_frame_from_pose``)."""
     renderer = ImageRenderer(cfg, pipeline, mesh, mode="render")
     sched = ScheduleValues.for_eval(cfg)
-    n = len(val_dataset.render_poses)
-    for idx in range(n):
-        ro, rd, radii = val_dataset.get_next_render_pose()
-        out = renderer.render_image(params, ro, rd, radii, sched=sched)
+    for idx in range(len(val_dataset.render_poses)):
+        pose = val_dataset.render_poses[idx]
+        out = renderer.render_image_from_pose(
+            params, pose, val_dataset.H, val_dataset.W, val_dataset.focal,
+            sched=sched,
+        )
         yield idx, out

@@ -307,8 +307,12 @@ def _make_validation_cb(cfg, doc, renderer, val_ds, verbose,
     def run_validation(i, state):
         t_val = time.time()
         sched = schedule_values(cfg, state.step)
-        ro, rd, radii, gt = val_ds.get_next_validation_rays()
-        out = renderer.render_image(state.params, ro, rd, radii, sched=sched)
+        # Rays for the val image are generated on device from the pose
+        # (pose-only upload; renderer.render_image_from_pose).
+        pose, gt = val_ds.get_next_validation_pose()
+        out = renderer.render_image_from_pose(
+            state.params, pose, val_ds.H, val_ds.W, val_ds.focal, sched=sched
+        )
 
         vm = _validation_metrics(cfg, out, gt)
         if cfg.dataset.ndc_rays:

@@ -498,3 +498,42 @@ def test_device_ray_bundle_matches_host():
     np.testing.assert_allclose(np.asarray(jno), no, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(jnd), nd, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(jnr), nr, rtol=1e-5, atol=1e-8)
+
+
+def test_render_image_from_pose_matches_ray_path(trained_logdir):
+    """Device-side ray generation for whole-image rendering must reproduce
+    the host-bundled path's maps (f32, tight tolerance) for all extract
+    keys including the per-chunk dp_loss scalar."""
+    import jax
+
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.models.nerf import NerfPipeline, ScheduleValues
+    from ddnerf_tpu.render.renderer import DEFAULT_KEYS, ImageRenderer
+    from ddnerf_tpu.train import checkpoint as ckpt
+    from ddnerf_tpu.train.state import create_train_state
+
+    cfg, logdir, _ = trained_logdir
+    cfg2 = ckpt.load_config_snapshot(logdir)
+    cfg2 = cfg2.replace_at("nerf.validation.radiance_field_noise_std", 0.0)
+    _, val_ds, cfg2 = get_datasets(cfg2)
+    pipe = NerfPipeline(cfg2)
+    state = create_train_state(cfg2, pipe, jax.random.PRNGKey(0))
+    state = ckpt.CheckpointManager(logdir).restore(state)
+    sched = ScheduleValues.for_eval(cfg2)
+
+    keys = tuple(DEFAULT_KEYS) + ("dp_loss",)
+    renderer = ImageRenderer(cfg2, pipe, extract_keys=keys)
+    pose = val_ds.poses[0]
+    ro, rd, radii = val_ds._bundle(pose)
+
+    want = renderer.render_image(state.params, ro, rd, radii, sched=sched)
+    got = renderer.render_image_from_pose(
+        state.params, pose, val_ds.H, val_ds.W, val_ds.focal, sched=sched)
+
+    for cyc in (0, 1):
+        for key in keys:
+            if key not in want[cyc]:
+                continue
+            np.testing.assert_allclose(
+                np.asarray(got[cyc][key]), np.asarray(want[cyc][key]),
+                rtol=5e-4, atol=5e-5, err_msg=f"cycle {cyc} {key}")
