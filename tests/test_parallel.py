@@ -296,3 +296,33 @@ def test_store_sharded_step_stacked_scan():
                     jax.tree_util.tree_leaves(s3.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+@requires_multidevice
+def test_video_frame_mesh_matches_single_device():
+    """render_video_frame_from_pose on the mesh (host-bundled fallback)
+    must match the single-device on-device path within one uint8 step."""
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.render.renderer import ImageRenderer
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace_at("nerf.validation.radiance_field_noise_std", 0.0)
+    _, val_ds, cfg = get_datasets(cfg)
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    pose = val_ds.render_poses[0]
+
+    single = ImageRenderer(cfg, pipe, mesh=None, mode="render",
+                           extract_keys=("rgb", "disp"))
+    rgb1, disp1 = single.render_video_frame_from_pose(
+        state.params, pose, val_ds.H, val_ds.W, val_ds.focal)
+
+    mesh = pmesh.make_mesh(8)
+    sharded = ImageRenderer(cfg, pipe, mesh=mesh, mode="render",
+                            extract_keys=("rgb", "disp"))
+    rgb8, disp8 = sharded.render_video_frame_from_pose(
+        state.params, pose, val_ds.H, val_ds.W, val_ds.focal)
+
+    assert rgb8.dtype == np.uint8 and disp8.dtype == np.uint8
+    assert np.max(np.abs(rgb1.astype(int) - rgb8.astype(int))) <= 1
+    assert np.max(np.abs(disp1.astype(int) - disp8.astype(int))) <= 1
