@@ -27,6 +27,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ddnerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # warm starts across bench invocations
+
     from ddnerf_tpu.config import Config
     from ddnerf_tpu.data.assembly import get_datasets
     from ddnerf_tpu.models.nerf import NerfPipeline
