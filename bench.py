@@ -79,6 +79,18 @@ def main():
         step_fn = jax.jit(make_train_step_from_store(cfg, pipe), donate_argnums=0)
         rays_per_call = cfg.nerf.train.num_random_rays
 
+    # Per-step FLOPs from XLA's own cost model (AOT-lowered BEFORE the first
+    # call so donation hasn't invalidated the buffers) — feeds the MFU
+    # figure, which is chip-variance-free and comparable round over round.
+    flops_per_call = None
+    try:
+        ca = step_fn.lower(state, store).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_call = float(ca["flops"]) if ca and "flops" in ca else None
+    except Exception:
+        pass
+
     # Warmup / compile.  Device sync is a VALUE FETCH, not block_until_ready:
     # on relayed/experimental backends the latter can return before the
     # computation actually finishes, inflating throughput numbers.
@@ -105,6 +117,26 @@ def main():
         if baseline.get("rays_per_sec"):
             vs_baseline = rays_per_sec / baseline["rays_per_sec"]
 
+    # Achieved TFLOP/s and MFU vs the chip's bf16 peak (PERF.md's 136/197
+    # figure, now first-class).  Unknown device kinds report tflops only.
+    peaks = {  # dense bf16 peak TFLOP/s per chip
+        "TPU v4": 275.0,
+        "TPU v5 lite": 197.0,
+        "TPU v5e": 197.0,
+        "TPU v5": 459.0,
+        "TPU v5p": 459.0,
+        "TPU v6 lite": 918.0,
+        "TPU v6e": 918.0,
+    }
+    tflops = mfu = None
+    if flops_per_call:
+        tflops = flops_per_call * n_iters / dt / 1e12
+        kind = jax.devices()[0].device_kind
+        for name, peak in sorted(peaks.items(), key=lambda kv: -len(kv[0])):
+            if kind.startswith(name):
+                mfu = tflops / peak
+                break
+
     print(
         json.dumps(
             {
@@ -113,6 +145,8 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/sec",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "tflops": round(tflops, 1) if tflops else None,
+                "mfu": round(mfu, 3) if mfu else None,
             }
         )
     )

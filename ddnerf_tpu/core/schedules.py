@@ -66,5 +66,10 @@ def pdf_padding(step, cfg: Config):
     """True until ``max_pdf_pad_iters`` then False (train_model.py:140-142).
 
     Returned as a traced bool so the flip does not recompile the train step.
+    A config that starts with ``pdf_padding: False`` never pads (the reference
+    only ever flips the configured value off, never on).
     """
-    return jnp.asarray(step) < cfg.train_params.max_pdf_pad_iters
+    return jnp.logical_and(
+        cfg.train_params.pdf_padding,
+        jnp.asarray(step) < cfg.train_params.max_pdf_pad_iters,
+    )

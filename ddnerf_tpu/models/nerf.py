@@ -68,17 +68,16 @@ class ScheduleValues(NamedTuple):
 
     @classmethod
     def for_eval(cls, cfg: Config):
-        """Eval-time fixup: pdf_padding off, final smooth — mirrors
-        eval_nerf.py:53-55."""
+        """Eval-time fixup mirroring eval_nerf.py:53-55: pdf_padding off and
+        final smooth **only if** training passed the flip
+        (``max_pdf_pad_iters < train_iters``) — a run that never reaches the
+        flip evals with padding still on, exactly like the reference."""
         tp = cfg.train_params
-        smooth = (
-            tp.final_smooth
-            if cfg.experiment.train_iters > tp.max_pdf_pad_iters
-            else tp.gaussian_smooth_factor
-        )
+        passed_flip = tp.max_pdf_pad_iters < cfg.experiment.train_iters
+        smooth = tp.final_smooth if passed_flip else tp.gaussian_smooth_factor
         return cls(
             gaussian_smooth_factor=jnp.asarray(smooth, jnp.float32),
-            pdf_padding=jnp.asarray(False),
+            pdf_padding=jnp.asarray(tp.pdf_padding and not passed_flip),
         )
 
 

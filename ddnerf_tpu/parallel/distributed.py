@@ -50,7 +50,10 @@ def pad_store_pixels(store: np.ndarray, n_shards: int) -> np.ndarray:
     pad = (-n_pix) % n_shards
     if pad == 0:
         return store
-    return np.concatenate([store, store[:, :pad]], axis=1)
+    # np.take with mode="wrap" handles pad > n_pix (a tiny store on a wide
+    # mesh) by cycling the pixel axis as many times as needed.
+    idx = np.arange(n_pix + pad) % n_pix
+    return np.take(store, idx, axis=1)
 
 
 def process_ray_slice(num_rays: int) -> slice:
@@ -68,8 +71,14 @@ def process_pixel_slice(n_pix_padded: int, n_shards: int) -> slice:
     devices, hence a contiguous run of pixel columns — exactly the layout
     ``jax.make_array_from_process_local_data`` wants.
     """
+    n_proc = jax.process_count()
+    if n_shards % n_proc:
+        raise ValueError(
+            f"mesh width {n_shards} must be a multiple of the process count "
+            f"{n_proc}: each host feeds whole device shards"
+        )
     per_dev = n_pix_padded // n_shards
-    devs_per_proc = n_shards // jax.process_count()
+    devs_per_proc = n_shards // n_proc
     idx = jax.process_index()
     width = per_dev * devs_per_proc
     return slice(idx * width, (idx + 1) * width)
@@ -90,6 +99,20 @@ def global_store(mesh: Mesh, local: np.ndarray) -> jax.Array:
     sharding = store_sharding(mesh)
     if jax.process_count() == 1:
         return jax.device_put(local, sharding)
+    # process_pixel_slice assumed each process owns one contiguous device run
+    # in mesh order; validate instead of mis-assembling on exotic topologies.
+    procs = [d.process_index for d in mesh.devices.flat]
+    first_seen = {}
+    for pos, p in enumerate(procs):
+        if p in first_seen:
+            if procs[pos - 1] != p:
+                raise ValueError(
+                    "mesh devices of one process are not contiguous in mesh "
+                    "order; the per-process pixel-slice feeding pattern "
+                    f"(process_pixel_slice) requires contiguity, got {procs}"
+                )
+        else:
+            first_seen[p] = pos
     return jax.make_array_from_process_local_data(sharding, local)
 
 

@@ -97,15 +97,17 @@ def make_sharded_store_sampler(mesh: Mesh, num_rays: int,
     In ``single_image_mode`` the image key is shared (NOT folded with the
     device index) so every device samples the same image — the reference's
     all-rays-of-one-image semantics (dataset.py:50-55) survive sharding.
+
+    When ``num_rays`` does not divide the mesh width, the per-device draw is
+    rounded UP, so the effective batch is ``ceil(num_rays/D)*D`` rays.  Every
+    drawn ray is still an i.i.d. uniform sample (no duplication bias) — the
+    batch is just marginally larger than requested, which any ``num_rays`` /
+    pod-width combination tolerates.  The effective size is exposed as
+    ``sampler.effective_num_rays``.
     """
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
-    if num_rays % n_dev:
-        raise ValueError(
-            f"num_random_rays={num_rays} must be divisible by the mesh width "
-            f"{n_dev} for per-shard sampling"
-        )
-    per_dev = num_rays // n_dev
+    per_dev = -(-num_rays // n_dev)
 
     def sample_local(store_shard, rng):
         # store_shard: this device's [n_img, n_pix/D, 10] block.
@@ -121,13 +123,15 @@ def make_sharded_store_sampler(mesh: Mesh, num_rays: int,
             rows = store_shard.reshape(n_img * n_pix_local, -1)[flat]
         return rows
 
-    return jax.shard_map(
+    sampler = jax.shard_map(
         sample_local,
         mesh=mesh,
         in_specs=(P(None, axis), P()),
         out_specs=P(axis),
         check_vma=False,
     )
+    sampler.effective_num_rays = per_dev * n_dev
+    return sampler
 
 
 def make_sharded_store_train_step(cfg: Config, pipeline, mesh: Mesh,

@@ -35,16 +35,16 @@ class ImageRenderer:
         self.chunk = cfg.nerf.validation.chunksize
         self.mesh = mesh
         self.extract_keys = extract_keys
+        self._eval_fn = make_eval_step(cfg, pipeline, mode=mode)
+        self._ondevice_cache = {}
         if mesh is not None:
             from ddnerf_tpu.parallel.mesh import make_sharded_eval_step
 
             self._step = make_sharded_eval_step(cfg, pipeline, mesh, mode=mode)
             self._shard = self._make_sharder(mesh)
         else:
-            self._step = jax.jit(make_eval_step(cfg, pipeline, mode=mode))
+            self._step = jax.jit(self._eval_fn)
             self._shard = lambda b: b
-            self._eval_fn = make_eval_step(cfg, pipeline, mode=mode)
-            self._ondevice_cache = {}
 
     def _make_sharder(self, mesh):
         from ddnerf_tpu.parallel.mesh import shard_batch
@@ -204,84 +204,117 @@ class ImageRenderer:
             np.asarray(disp_u8)[:n].reshape(h, w),
         )
 
+    def _pose_program(self, h, w, quantize: bool):
+        """Build (and cache) the jitted pose->maps program shared by
+        :meth:`render_image_from_pose` / :meth:`render_video_frame_from_pose`.
+
+        Ray generation (incl. the NDC projection), ``lax.map`` chunking and
+        — for ``quantize`` — the uint8 cast all run inside ONE program, so
+        the per-frame upload is the pose and the fetch is uint8.  With a
+        mesh, the chunk's ray axis carries a sharding constraint over the
+        data axis (render-tile parallelism): the SAME pose-only/uint8 wins
+        apply pod-scale (BASELINE.json config 5), where round 2 fell back to
+        host ray bundling + f32 fetches.  Returns ``(fn, k, chunk)``.
+        """
+        from ddnerf_tpu.core.rays import get_ray_bundle_device, ndc_mipnerf_rays
+
+        n = h * w
+        chunk = min(self.chunk, n)
+        if self.mesh is not None:
+            # Sharded chunks must divide evenly over the mesh width.
+            width = int(self.mesh.devices.size)
+            chunk = -(-chunk // width) * width
+        k = -(-n // chunk)
+        ndc = self.cfg.dataset.ndc_rays
+        key = ("pose", h, w, k, chunk, ndc, quantize)
+        if key in self._ondevice_cache:
+            return self._ondevice_cache[key], k, chunk
+
+        eval_fn = self._eval_fn
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rays_sharded = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+            repl = NamedSharding(mesh, P())
+
+        def program(params, pose, focal, keys, sched):
+            ro, rd, radii = get_ray_bundle_device(h, w, focal, pose)
+            if ndc:
+                ro, rd, radii = ndc_mipnerf_rays(h, w, focal, ro, rd, xp=jnp)
+                radii = radii[..., None]
+
+            def flat_pad(x):
+                x = x.reshape(n, x.shape[-1])
+                padn = k * chunk - n
+                if padn:
+                    x = jnp.concatenate(
+                        [x, jnp.broadcast_to(x[-1], (padn, x.shape[-1]))],
+                        axis=0,
+                    )
+                x = x.reshape(k, chunk, x.shape[-1])
+                if mesh is not None:
+                    x = jax.lax.with_sharding_constraint(x, rays_sharded)
+                return x
+
+            def body(args):
+                ro_c, rd_c, rr_c, key_c = args
+                return eval_fn(
+                    params,
+                    {"origins": ro_c, "directions": rd_c, "radii": rr_c},
+                    key_c,
+                    sched,
+                )
+
+            out = jax.lax.map(
+                body, (flat_pad(ro), flat_pad(rd), flat_pad(radii), keys)
+            )
+            if not quantize:
+                return out
+            rgb = out[1]["rgb"].reshape(-1, 3)
+            disp = out[1]["disp"].reshape(-1)
+            # Quantization identical to the host casts
+            # (viz.cast_to_image / cast_to_disparity_image).  The padded
+            # tail duplicates the last valid ray, so the disparity min/max
+            # over the padded array equals the valid-region min/max.
+            rgb_u8 = (jnp.clip(rgb, 0.0, 1.0) * 255).astype(jnp.uint8)
+            d = jnp.nan_to_num(disp, nan=0.0, posinf=0.0, neginf=0.0)
+            lo = jnp.min(d)
+            span = jnp.max(d) - lo
+            norm = (d - lo) / jnp.where(span > 0, span, 1.0)
+            disp_u8 = (jnp.clip(norm, 0.0, 1.0) * 255).astype(jnp.uint8)
+            return rgb_u8, disp_u8
+
+        if mesh is not None:
+            # Replicated in/out: the pose upload is tiny, and uint8/f32 maps
+            # are all-gathered on device so every host can read them locally.
+            fn = jax.jit(
+                program,
+                in_shardings=(repl, repl, repl, repl, repl),
+                out_shardings=repl,
+            )
+        else:
+            fn = jax.jit(program)
+        self._ondevice_cache[key] = fn
+        return fn, k, chunk
+
     def render_video_frame_from_pose(self, params, pose, h, w, focal,
                                      rng=None, sched=None):
         """Like :meth:`render_video_frame` but the whole frame is produced
         from a [4,4] camera pose: ray generation (incl. NDC projection for
         forward-facing scenes) runs inside the jitted program, so the
         per-frame host->device upload is 64 bytes instead of H*W*7 floats
-        (~58 MB at 1080p).  Single-device fast path; with a mesh it bundles
-        rays on host and defers to :meth:`render_video_frame`.
+        (~58 MB at 1080p), and the fetch is uint8.  Works identically on a
+        mesh (rows sharded over the data axis).
         """
-        from ddnerf_tpu.core.rays import get_ray_bundle_device, ndc_mipnerf_rays
-
-        if self.mesh is not None:
-            from ddnerf_tpu.core.rays import get_ray_bundle
-
-            ro, rd, radii = get_ray_bundle(h, w, focal, pose)
-            if self.cfg.dataset.ndc_rays:
-                ro, rd, radii = ndc_mipnerf_rays(h, w, focal, ro, rd)
-                radii = radii[..., None]
-            return self.render_video_frame(params, ro, rd, radii,
-                                           rng=rng, sched=sched)
-
         if sched is None:
             sched = ScheduleValues.for_eval(self.cfg)
         if rng is None:
             rng = jax.random.PRNGKey(0)
         n = h * w
-        chunk = min(self.chunk, n)
-        k = -(-n // chunk)
-        ndc = self.cfg.dataset.ndc_rays
-
-        key = ("video_pose", h, w, k, chunk, ndc)
-        if key not in self._ondevice_cache:
-            eval_fn = self._eval_fn
-
-            @jax.jit
-            def render_frame(params, pose, focal, keys, sched):
-                ro, rd, radii = get_ray_bundle_device(h, w, focal, pose)
-                if ndc:
-                    ro, rd, radii = ndc_mipnerf_rays(h, w, focal, ro, rd,
-                                                     xp=jnp)
-                    radii = radii[..., None]
-
-                def flat_pad(x):
-                    x = x.reshape(n, x.shape[-1])
-                    padn = k * chunk - n
-                    if padn:
-                        x = jnp.concatenate(
-                            [x, jnp.broadcast_to(x[-1], (padn, x.shape[-1]))],
-                            axis=0,
-                        )
-                    return x.reshape(k, chunk, x.shape[-1])
-
-                def body(args):
-                    ro_c, rd_c, rr_c, key_c = args
-                    return eval_fn(
-                        params,
-                        {"origins": ro_c, "directions": rd_c, "radii": rr_c},
-                        key_c,
-                        sched,
-                    )
-
-                out = jax.lax.map(
-                    body, (flat_pad(ro), flat_pad(rd), flat_pad(radii), keys)
-                )
-                rgb = out[1]["rgb"].reshape(-1, 3)
-                disp = out[1]["disp"].reshape(-1)
-                rgb_u8 = (jnp.clip(rgb, 0.0, 1.0) * 255).astype(jnp.uint8)
-                d = jnp.nan_to_num(disp, nan=0.0, posinf=0.0, neginf=0.0)
-                lo = jnp.min(d)
-                span = jnp.max(d) - lo
-                norm = (d - lo) / jnp.where(span > 0, span, 1.0)
-                disp_u8 = (jnp.clip(norm, 0.0, 1.0) * 255).astype(jnp.uint8)
-                return rgb_u8, disp_u8
-
-            self._ondevice_cache[key] = render_frame
-
+        fn, k, _chunk = self._pose_program(h, w, quantize=True)
         keys = jax.random.split(rng, k)
-        rgb_u8, disp_u8 = self._ondevice_cache[key](
+        rgb_u8, disp_u8 = fn(
             params, jnp.asarray(pose, jnp.float32),
             jnp.asarray(focal, jnp.float32), keys, sched,
         )
@@ -378,71 +411,16 @@ class ImageRenderer:
         upload is the pose instead of H*W*7 floats.  Returns the same
         per-cycle map dicts as :meth:`render_image`.
 
-        Single-device fast path; with a mesh the rays are bundled on host
-        and the sharded chunk path is used.
+        Works identically on a mesh (rows sharded over the data axis).
         """
-        from ddnerf_tpu.core.rays import (
-            get_ray_bundle,
-            get_ray_bundle_device,
-            ndc_mipnerf_rays,
-        )
-
-        if self.mesh is not None:
-            ro, rd, radii = get_ray_bundle(h, w, focal, pose)
-            if self.cfg.dataset.ndc_rays:
-                ro, rd, radii = ndc_mipnerf_rays(h, w, focal, ro, rd)
-                radii = radii[..., None]
-            return self.render_image(params, ro, rd, radii, rng=rng,
-                                     sched=sched)
-
         if sched is None:
             sched = ScheduleValues.for_eval(self.cfg)
         if rng is None:
             rng = jax.random.PRNGKey(0)
         n = h * w
-        chunk = min(self.chunk, n)
-        k = -(-n // chunk)
-        ndc = self.cfg.dataset.ndc_rays
-
-        key = ("image_pose", h, w, k, chunk, ndc)
-        if key not in self._ondevice_cache:
-            eval_fn = self._eval_fn
-
-            @jax.jit
-            def render_all(params, pose, focal, keys, sched):
-                ro, rd, radii = get_ray_bundle_device(h, w, focal, pose)
-                if ndc:
-                    ro, rd, radii = ndc_mipnerf_rays(h, w, focal, ro, rd,
-                                                     xp=jnp)
-                    radii = radii[..., None]
-
-                def flat_pad(x):
-                    x = x.reshape(n, x.shape[-1])
-                    padn = k * chunk - n
-                    if padn:
-                        x = jnp.concatenate(
-                            [x, jnp.broadcast_to(x[-1], (padn, x.shape[-1]))],
-                            axis=0,
-                        )
-                    return x.reshape(k, chunk, x.shape[-1])
-
-                def body(args):
-                    ro_c, rd_c, rr_c, key_c = args
-                    return eval_fn(
-                        params,
-                        {"origins": ro_c, "directions": rd_c, "radii": rr_c},
-                        key_c,
-                        sched,
-                    )
-
-                return jax.lax.map(
-                    body, (flat_pad(ro), flat_pad(rd), flat_pad(radii), keys)
-                )
-
-            self._ondevice_cache[key] = render_all
-
+        fn, k, chunk = self._pose_program(h, w, quantize=False)
         keys = jax.random.split(rng, k)
-        out = self._ondevice_cache[key](
+        out = fn(
             params, jnp.asarray(pose, jnp.float32),
             jnp.asarray(focal, jnp.float32), keys, sched,
         )

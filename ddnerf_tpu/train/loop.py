@@ -121,7 +121,8 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
                 donate_argnums=0 if cfg.parallel.donate_state else (),
             )
 
-        def step_fn(state, _unused):
+        def sample_upload():
+            """Sample on host and start the (async) device transfer."""
             ro, rd, radii, rgb = train_ds.sample_batch(
                 host_rng, cfg.nerf.train.num_random_rays
             )
@@ -133,7 +134,22 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
             }
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
-            return batch_step(state, batch)
+            return batch
+
+        # Double-buffering: batch N+1 is sampled and its device_put issued
+        # right after step N is dispatched, so the host sampling + transfer
+        # overlap step N's device compute instead of serializing with it
+        # (the reference's per-iter sample->transfer->step chain,
+        # dataset.py:50-59, is the anti-pattern being hidden).  The host rng
+        # is drawn in the same order as the synchronous loop, so batch
+        # contents are identical.
+        prefetched = [sample_upload()]
+
+        def step_fn(state, _unused):
+            batch = prefetched[0]
+            result = batch_step(state, batch)  # async dispatch
+            prefetched[0] = sample_upload()  # overlaps the running step
+            return result
 
         store = None
 
@@ -248,14 +264,17 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
             k = next_boundary(i) - i + 1
             state, stacked = run_block(state, k)
             if profile_steps and not profiled and i > start:
-                # Warm by now (first block compiled+ran); trace one block of
-                # profile_steps.  Like the per-iter driver, the profiled
-                # steps advance state.step but not the loop counter.
+                # Trace one block of profile_steps.  AOT-compile first so the
+                # traced run is warm WITHOUT executing a throwaway block —
+                # state.step advances by exactly profile_steps (the same
+                # drift as the per-iter driver), not 2x.
                 from ddnerf_tpu.utils.profiling import trace as profiler_trace
 
-                state, _ps = run_block(state, profile_steps)  # compile first
+                if profile_steps not in blocks:
+                    blocks[profile_steps] = make_block(profile_steps)
+                compiled = blocks[profile_steps].lower(state, store).compile()
                 with profiler_trace(logdir):
-                    state, _ps = run_block(state, profile_steps)
+                    state, _ps = compiled(state, store)
                     jax.block_until_ready(_ps["loss"])
                 profiled = True
             last = i + k - 1
@@ -263,15 +282,24 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
             # One fetch for the whole block, then per-iter scalar writes.
             mh = {name: np.asarray(v) for name, v in stacked.items()}
             rate = train_rate(last - start + 1)
+            print_event = is_event(last, cfg.experiment.print_every)
             for j in range(k):
                 it = i + j
-                if it % scalars_every == 0 or it == total_iters - 1:
+                # Print events always get a record (per-iter driver parity),
+                # even when not divisible by train_scalars_every.
+                if (it % scalars_every == 0 or it == total_iters - 1
+                        or (it == last and print_event)):
+                    rec = {name: float(v[j]) for name, v in mh.items()}
+                    if it == last:
+                        # rays/s in the jsonl payload, like the per-iter
+                        # driver's print-event records.
+                        rec["rays_per_sec"] = rate
                     doc.write_train_iter(
-                        it, {name: float(v[j]) for name, v in mh.items()},
+                        it, rec,
                         extra_scalars={"train/rays_per_sec": rate}
                         if it == last else None,
                     )
-            if is_event(last, cfg.experiment.print_every):
+            if print_event:
                 print_train(last, {n: float(v[-1]) for n, v in mh.items()}, rate)
             if is_event(last, cfg.experiment.validate_every):
                 state = _run_validation_cb(last, state)

@@ -56,11 +56,12 @@ def compute_loss(
     coefs = cfg.train_params.loss_coeficients
     loss = coefs[0] * loss_coarse + coefs[1] * loss_fine
 
+    # PSNR is intentionally NOT computed here: under microbatch accumulation
+    # metrics are averaged across chunks, and mean-of-PSNR != PSNR-of-mean-MSE.
+    # The train step derives psnr_{coarse,fine} once from the aggregated MSEs.
     metrics = {
         "loss_coarse": loss_coarse,
         "loss_fine": loss_fine,
-        "psnr_coarse": mse2psnr(loss_coarse),
-        "psnr_fine": mse2psnr(loss_fine),
     }
     if cfg.is_ddnerf():
         dp_loss = out[1]["dp_loss"]
@@ -137,6 +138,10 @@ def make_train_step(cfg: Config, pipeline: NerfPipeline):
             metrics = jax.tree_util.tree_map(lambda x: x / k, m_sum)
         else:
             grads, metrics = grad_of(batch, rng)
+        # PSNR from the aggregated MSEs (exact for the whole batch even when
+        # microbatched — matches the monolithic step's reporting).
+        metrics["psnr_coarse"] = mse2psnr(metrics["loss_coarse"])
+        metrics["psnr_fine"] = mse2psnr(metrics["loss_fine"])
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["lr"] = schedules.make_lr_schedule(cfg)(step)

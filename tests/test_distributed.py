@@ -39,6 +39,15 @@ def test_pad_store_pixels_wraps():
     assert dist.pad_store_pixels(store, 5) is store
 
 
+def test_pad_store_pixels_tiny_store_wide_mesh():
+    """pad > n_pix (3 pixels on a 16-wide mesh) cycles the pixel axis
+    instead of under-padding (ADVICE r2)."""
+    store = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    padded = dist.pad_store_pixels(store, 16)
+    assert padded.shape == (2, 16, 4)
+    np.testing.assert_array_equal(padded, store[:, np.arange(16) % 3])
+
+
 def test_process_pixel_slice_single_process():
     # 1 process, 8 shards, 16 padded pixels -> the whole range.
     s = dist.process_pixel_slice(16, 8)

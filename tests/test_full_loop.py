@@ -397,6 +397,34 @@ def test_host_sampling_fallback_path(tmp_path):
     assert int(state.step) == 6
     assert os.path.isdir(os.path.join(logdir, "checkpoint"))
 
+    # The double-buffered fallback must reproduce the synchronous
+    # sample->transfer->step semantics exactly: same host rng draw order,
+    # same batches, same final params.
+    import jax
+    import jax.numpy as jnp
+
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.models.nerf import NerfPipeline
+    from ddnerf_tpu.train.state import create_train_state
+    from ddnerf_tpu.train.step import make_train_step
+
+    train_ds, _, cfg2 = get_datasets(cfg)
+    pipe = NerfPipeline(cfg2)
+    ref_state = create_train_state(
+        cfg2, pipe, jax.random.PRNGKey(cfg2.experiment.randomseed)
+    )
+    step = jax.jit(make_train_step(cfg2, pipe))
+    host_rng = np.random.default_rng(cfg2.experiment.randomseed)
+    for _ in range(6):
+        ro, rd, radii, rgb = train_ds.sample_batch(host_rng, 64)
+        batch = {"origins": jnp.asarray(ro), "directions": jnp.asarray(rd),
+                 "radii": jnp.asarray(radii), "rgb": jnp.asarray(rgb)}
+        ref_state, m = step(ref_state, batch)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
 
 def test_render_video_frame_matches_host_casts(trained_logdir):
     """The on-device uint8 video quantization must match the host casts

@@ -90,6 +90,64 @@ def test_lpips_metric_behaves_like_distance(converted_npz):
     assert 0.0 < d_light < d_heavy
 
 
+def _torch_lpips_oracle(npz, image, target):
+    """The LPIPS forward of Zhang et al. 2018 written directly against
+    torch.nn.functional — an independent oracle for the JAX net's numerics
+    (the `lpips` package itself is not installed here): scaling layer ->
+    AlexNet conv taps (maxpool(3,2) after taps 0 and 1) -> channel
+    unit-normalize -> squared diff -> 1x1 linear weighting -> spatial mean
+    -> sum over taps.  Mirrors lpips/lpips.py (LPIPS.forward) and
+    lpips/pretrained_networks.py (alexnet slices)."""
+    import torch.nn.functional as F
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    strides = [4, 1, 1, 1, 1]
+    pads = [2, 2, 1, 1, 1]
+
+    def feats(img_hwc):
+        x = torch.from_numpy(np.ascontiguousarray(img_hwc)).permute(2, 0, 1)[None]
+        x = x * 2.0 - 1.0  # lpips in_01 preprocessing
+        x = (x - shift) / scale
+        taps = []
+        for i in range(5):
+            w = torch.from_numpy(npz[f"conv{i}_w"])
+            b = torch.from_numpy(npz[f"conv{i}_b"])
+            x = F.relu(F.conv2d(x, w, b, stride=strides[i], padding=pads[i]))
+            taps.append(x)
+            if i in (0, 1):
+                x = F.max_pool2d(x, kernel_size=3, stride=2)
+        return taps
+
+    def unit_norm(x, eps=1e-10):
+        return x / (torch.sqrt(torch.sum(x**2, dim=1, keepdim=True)) + eps)
+
+    total = torch.zeros(())
+    for i, (f0, f1) in enumerate(zip(feats(image), feats(target))):
+        d = (unit_norm(f0) - unit_norm(f1)) ** 2
+        lin = torch.from_numpy(npz[f"lin{i}_w"]).view(1, -1, 1, 1)
+        total = total + torch.mean(torch.sum(d * lin, dim=1))
+    return float(total)
+
+
+def test_lpips_numerics_match_torch_oracle(converted_npz):
+    """Elementwise agreement of eval/lpips_net.py with the independent torch
+    forward on the same weights/images (VERDICT r2 item 2): after this, the
+    only remaining LPIPS risk is the weights file itself."""
+    from ddnerf_tpu.eval.lpips_net import lpips_distance
+
+    npz = {k: v for k, v in np.load(converted_npz).items()}
+    rng = np.random.default_rng(7)
+    for hw in ((64, 64), (67, 53)):  # odd sizes exercise pool/stride edges
+        img = rng.uniform(0, 1, hw + (3,)).astype(np.float32)
+        tgt = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1).astype(
+            np.float32
+        )
+        ours = float(lpips_distance(npz, img, tgt))
+        oracle = _torch_lpips_oracle(npz, img, tgt)
+        np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=1e-7)
+
+
 def test_lpips_unavailable_without_weights():
     from ddnerf_tpu.eval import metrics as M
 

@@ -114,6 +114,44 @@ def test_schedule_values():
     assert float(schedules.gaussian_smooth_factor(5000, cfg)) == pytest.approx(1.0)
 
 
+def test_pdf_padding_respects_initial_config_value():
+    """A config that starts with pdf_padding: False never pads — the
+    reference only ever flips the configured value off."""
+    cfg = Config.from_dict(
+        {"train_params": {"pdf_padding": False, "max_pdf_pad_iters": 100}}
+    )
+    assert not bool(schedules.pdf_padding(0, cfg))
+    assert not bool(schedules.pdf_padding(99, cfg))
+
+
+def test_for_eval_pdf_padding_gate():
+    """eval_nerf.py:53-55 parity: the eval fixup (padding off, final smooth)
+    applies ONLY if training passed max_pdf_pad_iters (VERDICT r2 item 3)."""
+    from ddnerf_tpu.models.nerf import ScheduleValues
+
+    base = {
+        "train_params": {"pdf_padding": True, "max_pdf_pad_iters": 100,
+                         "gaussian_smooth_factor": 2.0, "final_smooth": 1.0,
+                         "finnish_smooth": 1000},
+    }
+    # Training passed the flip -> padding off, final smooth.
+    cfg = Config.from_dict({**base, "experiment": {"train_iters": 200}})
+    s = ScheduleValues.for_eval(cfg)
+    assert not bool(s.pdf_padding)
+    assert float(s.gaussian_smooth_factor) == pytest.approx(1.0)
+    # Training never reached the flip -> padding stays ON, initial smooth.
+    cfg = Config.from_dict({**base, "experiment": {"train_iters": 100}})
+    s = ScheduleValues.for_eval(cfg)
+    assert bool(s.pdf_padding)
+    assert float(s.gaussian_smooth_factor) == pytest.approx(2.0)
+    # pdf_padding: False in config stays off either way.
+    cfg = Config.from_dict(
+        {"train_params": {**base["train_params"], "pdf_padding": False},
+         "experiment": {"train_iters": 100}}
+    )
+    assert not bool(ScheduleValues.for_eval(cfg).pdf_padding)
+
+
 # ---------------------------------------------------------------- config
 
 

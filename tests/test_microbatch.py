@@ -56,6 +56,12 @@ def test_microbatch_matches_monolithic():
                                    rtol=1e-6)
         np.testing.assert_allclose(float(m_ref["dp_loss"]), float(m_mb["dp_loss"]),
                                    rtol=1e-5, atol=1e-7)
+        # Reported PSNR must equal the monolithic step's: PSNR is derived
+        # once from the aggregated MSE, not averaged per-microbatch
+        # (mean-of-PSNR != PSNR-of-mean-MSE).
+        for key in ("psnr_coarse", "psnr_fine"):
+            np.testing.assert_allclose(float(m_ref[key]), float(m_mb[key]),
+                                       rtol=1e-5)
         for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
                         jax.tree_util.tree_leaves(s_mb.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -166,10 +166,43 @@ def test_store_sampler_single_image_mode_spans_one_image():
 
 
 @requires_multidevice
-def test_store_sampler_rejects_indivisible_batch():
+def test_store_sampler_pads_indivisible_batch():
+    """63 rays on an 8-wide mesh rounds the per-device draw UP: the batch is
+    ceil(63/8)*8 = 64 valid i.i.d. rays, still shard-local per device."""
+    from ddnerf_tpu.parallel.distributed import global_store
+
     mesh = pmesh.make_mesh(8)
-    with pytest.raises(ValueError, match="divisible"):
-        pmesh.make_sharded_store_sampler(mesh, 63, single_image_mode=False)
+    store = global_store(mesh, marker_store())
+    sample = pmesh.make_sharded_store_sampler(mesh, 63, single_image_mode=False)
+    assert sample.effective_num_rays == 64
+    rows = np.asarray(sample(store, jax.random.PRNGKey(3)))
+    assert rows.shape == (64, 10)
+    per = 64 // 8
+    for i in range(8):
+        block = rows[i * per:(i + 1) * per, 8]
+        assert (block >= i / 8).all() and (block < (i + 1) / 8).all()
+
+
+@requires_multidevice
+def test_store_sharded_step_indivisible_num_rays():
+    """The full store-sharded train step runs with num_random_rays that does
+    not divide the mesh width (VERDICT r2 item 5)."""
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.parallel.distributed import build_sharded_store
+
+    cfg = tiny_cfg().replace_at("nerf.train.num_random_rays", 60)
+    train_ds, _, cfg = get_datasets(cfg)
+    mesh = pmesh.make_mesh(8)
+    store = build_sharded_store(mesh, train_ds.device_store())
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    step = pmesh.make_sharded_store_train_step(
+        cfg.replace_at("parallel.donate_state", False), pipe, mesh
+    )
+    for _ in range(2):
+        state, metrics = step(state, store)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2
 
 
 @requires_multidevice
@@ -300,8 +333,9 @@ def test_store_sharded_step_stacked_scan():
 
 @requires_multidevice
 def test_video_frame_mesh_matches_single_device():
-    """render_video_frame_from_pose on the mesh (host-bundled fallback)
-    must match the single-device on-device path within one uint8 step."""
+    """render_video_frame_from_pose on the mesh (pose-only upload, on-device
+    ray gen + uint8 quantization, rows sharded over the data axis) must match
+    the single-device on-device path within one uint8 step."""
     from ddnerf_tpu.data.assembly import get_datasets
     from ddnerf_tpu.render.renderer import ImageRenderer
 
@@ -326,3 +360,34 @@ def test_video_frame_mesh_matches_single_device():
     assert rgb8.dtype == np.uint8 and disp8.dtype == np.uint8
     assert np.max(np.abs(rgb1.astype(int) - rgb8.astype(int))) <= 1
     assert np.max(np.abs(disp1.astype(int) - disp8.astype(int))) <= 1
+
+
+@requires_multidevice
+def test_image_from_pose_mesh_matches_single_device():
+    """render_image_from_pose on the mesh (on-device ray gen, sharded rows)
+    must match the single-device pose path."""
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.render.renderer import ImageRenderer
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace_at("nerf.validation.radiance_field_noise_std", 0.0)
+    _, val_ds, cfg = get_datasets(cfg)
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    pose = val_ds.render_poses[0]
+
+    single = ImageRenderer(cfg, pipe, mesh=None, mode="render",
+                           extract_keys=("rgb", "disp", "depth"))
+    out1 = single.render_image_from_pose(
+        state.params, pose, val_ds.H, val_ds.W, val_ds.focal)
+
+    mesh = pmesh.make_mesh(8)
+    sharded = ImageRenderer(cfg, pipe, mesh=mesh, mode="render",
+                            extract_keys=("rgb", "disp", "depth"))
+    out8 = sharded.render_image_from_pose(
+        state.params, pose, val_ds.H, val_ds.W, val_ds.focal)
+
+    np.testing.assert_allclose(out1[1]["rgb"], out8[1]["rgb"],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(out1[1]["depth"], out8[1]["depth"],
+                               rtol=2e-3, atol=2e-4)
