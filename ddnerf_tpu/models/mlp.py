@@ -27,6 +27,38 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# ReLU with a custom VJP that saves its OUTPUT as the residual.  Plain
+# jnp.maximum(x, 0) makes AD save the predicate x > 0, which XLA bit-packs
+# into u32 masks in the forward fusions and unpacks in the backward — ~0.8 ms
+# of VPU pack/unpack per flagship step (trace digest: convert_reduce_fusion /
+# and_convert_fusion ops).  The post-activation is already a saved residual
+# (it feeds the next layer's wgrad), so deriving the mask as y > 0 in the
+# backward costs nothing and the pred residuals disappear entirely.
+# Identical gradients except at exactly x == 0 (measure zero).
+@jax.custom_vjp
+def relu_save_output(x):
+    return jnp.maximum(x, 0.0)
+
+
+def _relu_fwd(x):
+    y = jnp.maximum(x, 0.0)
+    return y, y
+
+
+def _relu_bwd(y, g):
+    return (jnp.where(y > 0, g, jnp.zeros_like(g)),)
+
+
+relu_save_output.defvjp(_relu_fwd, _relu_bwd)
+
+# Trace-time switch (A/B benchmarks flip it; production default: True).
+RELU_SAVE_OUTPUT = True
+
+
+def _relu(x):
+    return relu_save_output(x) if RELU_SAVE_OUTPUT else jnp.maximum(x, 0.0)
+
+
 # torch nn.Linear default init: kaiming_uniform(a=sqrt(5)) == uniform
 # ±sqrt(6/((1+5)*fan_in)) = ±1/sqrt(fan_in); bias uniform ±1/sqrt(fan_in).
 def _torch_linear_kernel_init(key, shape, dtype=jnp.float32):
@@ -61,10 +93,90 @@ class _TorchDense(nn.Module):
         return y + bias
 
 
+class _TorchParams(nn.Module):
+    """Declares a Linear's (kernel, bias) with the SAME param names/shapes as
+    :class:`_TorchDense` without applying it — the head layers fetch their
+    params through this and run through merged matmuls (below), keeping the
+    param tree identical for checkpoints and torch transplant."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, fan_in: int):
+        kernel = self.param(
+            "kernel", _torch_linear_kernel_init, (fan_in, self.features)
+        )
+        bound = 1.0 / jnp.sqrt(fan_in)
+        bias = self.param(
+            "bias",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.features,),
+        )
+        return kernel, bias
+
+
+def _mlp_heads(ipe, dirs, x, dtype, hidden_size, dir_hidden, head_modules):
+    """The shared head block of MipMLP / DepthMipMLP with TPU-friendly
+    matmul merging.  Three wins over the naive per-head Denses (all exact —
+    the merges concatenate weight columns of matmuls that share an input, so
+    every output element sees the identical contraction):
+
+    * ``fc_alpha`` rides the feat-half of ``dir_0`` as one ``[256, 1+128]``
+      matmul — tiny-output matmuls ([256,1]) are K-serial on the MXU and
+      their forward fusion alone measured 0.18 ms (trace digest fusion.1);
+    * ``fc_rgb`` (+``fc_mu_sigma``) share one ``[128, 3(+2)]`` matmul;
+    * the view-direction half of ``dir_0`` is computed at PER-RAY rank
+      ([N,27] @ [27,128]) and broadcast to samples — the reference's concat
+      form (models.py:133, base_architectures.py:52-60) recomputes it per
+      sample (S× the FLOPs and an [N,S,27] materialization).
+
+    ``head_modules`` maps name -> _TorchParams instance (already named so the
+    param tree matches the reference layout).
+    """
+    wf, bf = head_modules["fc_feat"](x.shape[-1])
+    wa, ba = head_modules["fc_alpha"](hidden_size)
+    wd, bd = head_modules["dir_0"](hidden_size + dirs.shape[-1])
+
+    feat = jnp.dot(
+        x.astype(dtype), wf.astype(dtype), preferred_element_type=jnp.float32
+    ) + bf
+    featd = feat.astype(dtype)
+
+    # [alpha | h_feat] in one matmul over the shared `feat` input.
+    w_am = jnp.concatenate([wa, wd[:hidden_size]], axis=1).astype(dtype)
+    am = jnp.dot(featd, w_am, preferred_element_type=jnp.float32)
+    alpha = am[..., :1] + ba
+
+    # Per-ray dir projection, broadcast over the sample axis by the add.
+    dproj = jnp.dot(
+        dirs.astype(dtype),
+        wd[hidden_size:].astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    h = _relu(am[..., 1:] + dproj + bd)
+
+    ws, bs2 = [], []
+    for name in ("fc_rgb", "fc_mu_sigma"):
+        if name in head_modules:
+            w, b = head_modules[name](dir_hidden)
+            ws.append(w)
+            bs2.append(b)
+    w_heads = jnp.concatenate(ws, axis=1).astype(dtype)
+    b_heads = jnp.concatenate(bs2)
+    heads = jnp.dot(
+        h.astype(dtype), w_heads, preferred_element_type=jnp.float32
+    ) + b_heads
+
+    return jnp.concatenate(
+        [heads[..., :3], alpha, heads[..., 3:]], axis=-1
+    ).astype(jnp.float32)
+
+
 class MipMLP(nn.Module):
     """mip-NeRF MLP (reference base_architectures.py:3-61).
 
-    Output: ``[..., 4]`` = (rgb raw 3, alpha raw 1).
+    ``dirs`` may be per-ray ``[N, 27]`` (broadcast over samples inside) or
+    pre-broadcast ``[N, S, 27]``.  Output: ``[..., 4]`` = (rgb 3, alpha 1).
     """
 
     hidden_size: int = 256
@@ -80,15 +192,16 @@ class MipMLP(nn.Module):
             if i == self.skip_layer:
                 x = jnp.concatenate([ipe, x], axis=-1)
             x = _TorchDense(self.hidden_size, dtype=self.dtype, name=f"trunk_{i}")(x)
-            x = nn.relu(x)
-        feat = _TorchDense(self.hidden_size, dtype=self.dtype, name="fc_feat")(x)
-        alpha = _TorchDense(1, dtype=self.dtype, name="fc_alpha")(feat)
-        h = _TorchDense(
-            self.dir_hidden, dtype=self.dtype, name="dir_0"
-        )(jnp.concatenate([feat, dirs], axis=-1))
-        h = nn.relu(h)
-        rgb = _TorchDense(3, dtype=self.dtype, name="fc_rgb")(h)
-        return jnp.concatenate([rgb, alpha], axis=-1).astype(jnp.float32)
+            x = _relu(x)
+        heads = {
+            "fc_feat": _TorchParams(self.hidden_size, name="fc_feat"),
+            "fc_alpha": _TorchParams(1, name="fc_alpha"),
+            "dir_0": _TorchParams(self.dir_hidden, name="dir_0"),
+            "fc_rgb": _TorchParams(3, name="fc_rgb"),
+        }
+        dtype = self.dtype or ipe.dtype
+        return _mlp_heads(ipe, dirs, x, dtype, self.hidden_size,
+                          self.dir_hidden, heads)
 
 
 class DepthMipMLP(nn.Module):
@@ -111,13 +224,14 @@ class DepthMipMLP(nn.Module):
             if i == self.skip_layer:
                 x = jnp.concatenate([ipe, x], axis=-1)
             x = _TorchDense(self.hidden_size, dtype=self.dtype, name=f"trunk_{i}")(x)
-            x = nn.relu(x)
-        feat = _TorchDense(self.hidden_size, dtype=self.dtype, name="fc_feat")(x)
-        alpha = _TorchDense(1, dtype=self.dtype, name="fc_alpha")(feat)
-        h = _TorchDense(
-            self.dir_hidden, dtype=self.dtype, name="dir_0"
-        )(jnp.concatenate([feat, dirs], axis=-1))
-        h = nn.relu(h)
-        rgb = _TorchDense(3, dtype=self.dtype, name="fc_rgb")(h)
-        mu_sigma = _TorchDense(2, dtype=self.dtype, name="fc_mu_sigma")(h)
-        return jnp.concatenate([rgb, alpha, mu_sigma], axis=-1).astype(jnp.float32)
+            x = _relu(x)
+        heads = {
+            "fc_feat": _TorchParams(self.hidden_size, name="fc_feat"),
+            "fc_alpha": _TorchParams(1, name="fc_alpha"),
+            "dir_0": _TorchParams(self.dir_hidden, name="dir_0"),
+            "fc_rgb": _TorchParams(3, name="fc_rgb"),
+            "fc_mu_sigma": _TorchParams(2, name="fc_mu_sigma"),
+        }
+        dtype = self.dtype or ipe.dtype
+        return _mlp_heads(ipe, dirs, x, dtype, self.hidden_size,
+                          self.dir_hidden, heads)

@@ -172,14 +172,14 @@ class NerfPipeline:
         def net(params, means, covs, viewdirs):
             ipe = mmath.integrated_pos_enc((means, covs))  # [N, S, 96]
             dirs_enc = mmath.positional_encoding(viewdirs, num_freqs=4)  # [N, 27]
-            dirs_b = jnp.broadcast_to(
-                dirs_enc[..., None, :], ipe.shape[:-1] + (dirs_enc.shape[-1],)
-            )
             # Keep the [N, S, C] form: measured ~9% faster than flattening
             # to [N*S, C] at the flagship batch (XLA layout choice).  Large
             # batches where the 3-D form picks pathological backward-matmul
             # emitters are handled by parallel.microbatch_rays instead.
-            return module.apply({"params": params}, ipe, dirs_b)
+            # dirs stay per-ray [N, 1, 27]: the MLP projects them once per
+            # ray and broadcasts the projection over samples (mlp._mlp_heads)
+            # instead of materializing [N, S, 27].
+            return module.apply({"params": params}, ipe, dirs_enc[:, None, :])
 
         if self.cfg.parallel.remat_mlp:
             # Rematerialize IPE + MLP in the backward pass: the saved trunk
