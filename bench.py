@@ -68,8 +68,11 @@ def main():
     state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
     store = jnp.asarray(train_ds.device_store())
     # BENCH_SCAN=K chains K steps per dispatch (train/step.py::make_scan_...)
-    # to remove per-dispatch RPC overhead from the measurement.
-    scan_k = int(os.environ.get("BENCH_SCAN", "0"))
+    # to remove per-dispatch RPC overhead from the measurement.  Default 8:
+    # the production train loop runs scan blocks too (the train_scalars_every
+    # block driver), so chained dispatch is the honest steady-state shape.
+    # BENCH_SCAN=0 measures one dispatch per step.
+    scan_k = int(os.environ.get("BENCH_SCAN", "8"))
     if scan_k > 1:
         from ddnerf_tpu.train.step import make_scan_train_step
 
@@ -82,12 +85,17 @@ def main():
     # Per-step FLOPs from XLA's own cost model (AOT-lowered BEFORE the first
     # call so donation hasn't invalidated the buffers) — feeds the MFU
     # figure, which is chip-variance-free and comparable round over round.
+    # Always lowered on the SINGLE step: cost_analysis does not multiply a
+    # lax.scan body by its trip count, so the scan-chained program would
+    # under-report by scan_k.
     flops_per_call = None
     try:
-        ca = step_fn.lower(state, store).compile().cost_analysis()
+        single = jax.jit(make_train_step_from_store(cfg, pipe))
+        ca = single.lower(state, store).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops_per_call = float(ca["flops"]) if ca and "flops" in ca else None
+        if ca and "flops" in ca:
+            flops_per_call = float(ca["flops"]) * max(scan_k, 1)
     except Exception:
         pass
 

@@ -54,12 +54,13 @@ class ExperimentConfig:
     # a specific step (eval_nerf.py:173-178).
     max_keep_ckpts: int = 1
     # Train-scalar density in TB/metrics.jsonl.  0 = one point per
-    # ``print_every`` (cheapest).  N >= 1 = a point every N iterations; the
-    # reference writes EVERY iteration (documentation.py:11-26), which is
-    # ``train_scalars_every: 1``.  With the device-resident ray store this is
-    # near-free: steps run in lax.scan blocks that stack per-step scalars on
-    # device and flush once per ``print_every`` (no per-step host sync).
-    train_scalars_every: int = 0
+    # ``print_every`` (cheapest, one dispatch per step).  N >= 1 = a point
+    # every N iterations via the scan-block driver: steps run in lax.scan
+    # blocks that stack per-step scalars on device and flush once per
+    # ``print_every`` (no per-step host sync) — near-free, and chained
+    # dispatch amortizes the per-step RPC.  Default 1 = the reference's
+    # every-iteration train curves (documentation.py:11-26).
+    train_scalars_every: int = 1
 
 
 @dataclass(frozen=True)

@@ -39,6 +39,12 @@ def combined_samples(num_coarse, near, far, combined_near, combined_split):
     t_uniform = combined_near * (1.0 - t) + combined_split * t
 
     min_d = combined_split
+    # Combined sampling treats ``far`` as a single scene-wide bound (every
+    # current config sets dataset-level near/far, so all rows are equal; the
+    # reference reads cfg.dataset.far the same way, samplers.py:17).  If a
+    # dataset ever carries per-ray far values this produces one shared grid
+    # from row 0 — checked where the batch is built (models/nerf.py uses the
+    # RayBatch scalar bounds, which cannot vary per ray).
     max_d = far[0, 0] if far.ndim == 2 else far.reshape(-1)[0]
     d_i = min_d * (1.0 - t) + max_d * t
     t_nonuniform = min_d + jnp.sort(

@@ -42,17 +42,35 @@ def relu_save_output(x):
 
 def _relu_fwd(x):
     y = jnp.maximum(x, 0.0)
-    return y, y
+    # Residual = the bf16 cast of the activation — the exact buffer the next
+    # layer's matmul consumes (CSE'd into one), so the relu residual is FREE.
+    res = y.astype(jnp.bfloat16) if RELU_BF16_RESIDUAL else y
+    return y, res
 
 
-def _relu_bwd(y, g):
-    return (jnp.where(y > 0, g, jnp.zeros_like(g)),)
+def _relu_bwd(res, g):
+    if RELU_BWD_BARRIER:
+        # Measured SLOWER (285k vs 346k rays/s interleaved): the barrier
+        # forces an extra residual materialization.  Kept for A/B re-runs.
+        res = jax.lax.optimization_barrier(res)
+    return (jnp.where(res > 0, g, jnp.zeros_like(g)).astype(jnp.float32),)
 
 
 relu_save_output.defvjp(_relu_fwd, _relu_bwd)
 
-# Trace-time switch (A/B benchmarks flip it; production default: True).
+# Trace-time switches (A/B benchmarks flip them; production defaults below).
+# On-chip interleaved A/B (2048-ray flagship step): plain maximum 257k,
+# save-output f32 residual 324k, bf16 residual 346k rays/s; the backward
+# barrier variant regressed to 285k.  The mask derived from the bf16 cast
+# differs from f32 only for positives below ~1e-40 (bf16 keeps sign/zero).
 RELU_SAVE_OUTPUT = True
+RELU_BF16_RESIDUAL = True
+RELU_BWD_BARRIER = False
+
+# Skip layer as two partial matmuls (x@W[96:] + ipe@W[:96]) instead of a
+# concat — algebraically identical (a concat matmul IS the sum of partials),
+# avoids materializing [N,S,352] and its backward relayout.
+SPLIT_SKIP_LAYER = True
 
 
 def _relu(x):
@@ -113,6 +131,36 @@ class _TorchParams(nn.Module):
             (self.features,),
         )
         return kernel, bias
+
+
+def _mlp_trunk(mlp, ipe):
+    """The 8-layer trunk with the skip concat at ``mlp.skip_layer``
+    (reference base_architectures.py:25-29, 44-49).  With SPLIT_SKIP_LAYER
+    the skip layer runs as ``ipe @ W[:96] + x @ W[96:]`` — the exact
+    contraction the concat form computes, without materializing [N,S,352]
+    (whose backward needed a slow relayout for the wgrad operand)."""
+    x = ipe
+    for i in range(mlp.num_trunk_layers):
+        if i == mlp.skip_layer and SPLIT_SKIP_LAYER:
+            dt = mlp.dtype or x.dtype
+            nin = ipe.shape[-1]
+            w, b = _TorchParams(mlp.hidden_size, name=f"trunk_{i}")(
+                nin + x.shape[-1]
+            )
+            y = (
+                jnp.dot(ipe.astype(dt), w[:nin].astype(dt),
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(x.astype(dt), w[nin:].astype(dt),
+                          preferred_element_type=jnp.float32)
+                + b
+            )
+            x = _relu(y)
+            continue
+        if i == mlp.skip_layer:
+            x = jnp.concatenate([ipe, x], axis=-1)
+        x = _TorchDense(mlp.hidden_size, dtype=mlp.dtype, name=f"trunk_{i}")(x)
+        x = _relu(x)
+    return x
 
 
 def _mlp_heads(ipe, dirs, x, dtype, hidden_size, dir_hidden, head_modules):
@@ -187,12 +235,7 @@ class MipMLP(nn.Module):
 
     @nn.compact
     def __call__(self, ipe, dirs):
-        x = ipe
-        for i in range(self.num_trunk_layers):
-            if i == self.skip_layer:
-                x = jnp.concatenate([ipe, x], axis=-1)
-            x = _TorchDense(self.hidden_size, dtype=self.dtype, name=f"trunk_{i}")(x)
-            x = _relu(x)
+        x = _mlp_trunk(self, ipe)
         heads = {
             "fc_feat": _TorchParams(self.hidden_size, name="fc_feat"),
             "fc_alpha": _TorchParams(1, name="fc_alpha"),
@@ -219,12 +262,7 @@ class DepthMipMLP(nn.Module):
 
     @nn.compact
     def __call__(self, ipe, dirs):
-        x = ipe
-        for i in range(self.num_trunk_layers):
-            if i == self.skip_layer:
-                x = jnp.concatenate([ipe, x], axis=-1)
-            x = _TorchDense(self.hidden_size, dtype=self.dtype, name=f"trunk_{i}")(x)
-            x = _relu(x)
+        x = _mlp_trunk(self, ipe)
         heads = {
             "fc_feat": _TorchParams(self.hidden_size, name="fc_feat"),
             "fc_alpha": _TorchParams(1, name="fc_alpha"),

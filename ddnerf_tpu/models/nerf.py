@@ -81,6 +81,11 @@ class ScheduleValues(NamedTuple):
         )
 
 
+# Trace-time switch: recompute the IPE in the backward pass (see
+# _run_network).  Default on; A/B benchmarks flip it.
+_REMAT_IPE = True
+
+
 def _dtype_of(cfg: Config):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         cfg.parallel.compute_dtype
@@ -170,7 +175,17 @@ class NerfPipeline:
             return flat.reshape(n, s, out_dim)
 
         def net(params, means, covs, viewdirs):
-            ipe = mmath.integrated_pos_enc((means, covs))  # [N, S, 96]
+            if _REMAT_IPE:
+                # Recompute the IPE in the backward instead of saving it:
+                # the saved [N,S,96] residual otherwise needs a slow
+                # cross-dim relayout for trunk_0's wgrad (a 0.35 ms kLoop
+                # copy in the trace digest), while recomputing it is ~0.05 ms
+                # of VPU work emitted directly in the consumer's layout.
+                ipe = jax.checkpoint(
+                    lambda m, c: mmath.integrated_pos_enc((m, c))
+                )(means, covs)
+            else:
+                ipe = mmath.integrated_pos_enc((means, covs))  # [N, S, 96]
             dirs_enc = mmath.positional_encoding(viewdirs, num_freqs=4)  # [N, 27]
             # Keep the [N, S, C] form: measured ~9% faster than flattening
             # to [N*S, C] at the flagship batch (XLA layout choice).  Large
