@@ -68,11 +68,15 @@ def main():
     state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
     store = jnp.asarray(train_ds.device_store())
     # BENCH_SCAN=K chains K steps per dispatch (train/step.py::make_scan_...)
-    # to remove per-dispatch RPC overhead from the measurement.  Default 8:
+    # to remove per-dispatch RPC overhead from the measurement.  Default 32:
     # the production train loop runs scan blocks too (the train_scalars_every
-    # block driver), so chained dispatch is the honest steady-state shape.
-    # BENCH_SCAN=0 measures one dispatch per step.
-    scan_k = int(os.environ.get("BENCH_SCAN", "8"))
+    # block driver, blocks up to print_every=200 steps), so chained dispatch
+    # is the honest steady-state shape and 32 is still conservative.
+    # Measured ladder (same chip, same session): scan 8 = 368.7k, 16 =
+    # 371.2k, 32 = 373.8k rays/s — the curve is nearly flat, so dispatch
+    # overhead is not the dominant gap.  BENCH_SCAN=0 measures one dispatch
+    # per step.
+    scan_k = int(os.environ.get("BENCH_SCAN", "32"))
     if scan_k > 1:
         from ddnerf_tpu.train.step import make_scan_train_step
 

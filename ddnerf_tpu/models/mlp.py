@@ -72,6 +72,21 @@ RELU_BWD_BARRIER = False
 # avoids materializing [N,S,352] and its backward relayout.
 SPLIT_SKIP_LAYER = True
 
+# Fold the skip layer's ipe-half into trunk_0's matmul as extra weight
+# columns: ipe @ [W0 | Wskip[:96]] -> [..., 512], first half becomes
+# trunk_0's pre-activation, second half is carried to the skip layer.  The
+# standalone ipe @ Wskip[:96] matmul is K=96 (MXU pads the contraction to
+# 128) and its operand rides a ray-minor layout — the trace digest clocks it
+# at ~15-30 TF/s vs ~170 for the 256-wide trunk matmuls; amortizing the
+# K-pad over 512 output columns and sharing trunk_0's operand read removes
+# it entirely.  Exact: identical contractions, param tree unchanged.
+# MEASURED: a large NEGATIVE — 279k vs 360k rays/s (benchmarks/ab.py,
+# interleaved).  Slicing the [..., 2H] product back into halves and keeping
+# skip_ipe live across four layers breaks the trunk's matmul+relu+pack
+# fusion chain; the K-pad waste it saves is far smaller than what the
+# fusion break costs.  Kept off as a documented negative result.
+SKIP_FOLD_TRUNK0 = False
+
 
 def _relu(x):
     return relu_save_output(x) if RELU_SAVE_OUTPUT else jnp.maximum(x, 0.0)
@@ -139,6 +154,12 @@ def _mlp_trunk(mlp, ipe):
     the skip layer runs as ``ipe @ W[:96] + x @ W[96:]`` — the exact
     contraction the concat form computes, without materializing [N,S,352]
     (whose backward needed a slow relayout for the wgrad operand)."""
+    if (
+        SPLIT_SKIP_LAYER
+        and SKIP_FOLD_TRUNK0
+        and 0 < mlp.skip_layer < mlp.num_trunk_layers
+    ):
+        return _mlp_trunk_folded(mlp, ipe)
     x = ipe
     for i in range(mlp.num_trunk_layers):
         if i == mlp.skip_layer and SPLIT_SKIP_LAYER:
@@ -158,6 +179,35 @@ def _mlp_trunk(mlp, ipe):
             continue
         if i == mlp.skip_layer:
             x = jnp.concatenate([ipe, x], axis=-1)
+        x = _TorchDense(mlp.hidden_size, dtype=mlp.dtype, name=f"trunk_{i}")(x)
+        x = _relu(x)
+    return x
+
+
+def _mlp_trunk_folded(mlp, ipe):
+    """Trunk with the skip layer's ipe-half folded into trunk_0 (see
+    SKIP_FOLD_TRUNK0).  ``ipe @ [W0 | Ws[:96]]`` yields trunk_0's
+    pre-activation and the skip contribution in one [96, 2H] matmul; the
+    carried half joins ``x @ Ws[96:]`` at the skip layer.  Every output
+    element sees the identical contraction as the unfolded form."""
+    dt = mlp.dtype or ipe.dtype
+    nin = ipe.shape[-1]
+    h = mlp.hidden_size
+    w0, b0 = _TorchParams(h, name="trunk_0")(nin)
+    ws, bs = _TorchParams(h, name=f"trunk_{mlp.skip_layer}")(nin + h)
+    w_merged = jnp.concatenate([w0, ws[:nin]], axis=1).astype(dt)
+    y = jnp.dot(ipe.astype(dt), w_merged, preferred_element_type=jnp.float32)
+    x = _relu(y[..., :h] + b0)
+    skip_ipe = y[..., h:]
+    for i in range(1, mlp.num_trunk_layers):
+        if i == mlp.skip_layer:
+            x = _relu(
+                skip_ipe
+                + jnp.dot(x.astype(dt), ws[nin:].astype(dt),
+                          preferred_element_type=jnp.float32)
+                + bs
+            )
+            continue
         x = _TorchDense(mlp.hidden_size, dtype=mlp.dtype, name=f"trunk_{i}")(x)
         x = _relu(x)
     return x

@@ -120,6 +120,50 @@ def summarize_logdir(logdir: str, steps: int = 1, top: int = 15) -> str:
     return format_summary(summarize(load_device_ops(trace), steps), top)
 
 
+def roofline(ops: List[dict], steps: int = 1, top: int = 20,
+             min_ms: float = 0.01) -> str:
+    """Per-op roofline table: achieved TFLOP/s and GB/s from the trace's own
+    ``model_flops`` / ``bytes_accessed`` args.  An op near the HBM-bandwidth
+    peak (or, for matmuls, the MXU peak) is at its hardware floor — time
+    spent there is provably not recoverable by fusion/layout work.  Ops well
+    below BOTH peaks are the remaining optimization surface (kernel-launch
+    shaped, VPU-serial, or padding-wasted).
+    """
+    agg: Dict[str, List[float]] = {}
+    for e in ops:
+        a = e["args"]
+        key = a.get("deduplicated_name") or e["name"]
+        d = agg.setdefault(key, [0.0, 0.0, 0.0, 0])
+        d[0] += e["dur"]                                  # us
+        d[1] += float(a.get("model_flops", 0) or 0)
+        d[2] += float(a.get("bytes_accessed", 0) or 0)
+        d[3] += 1
+        if len(d) == 4:  # first sighting: keep a representative cat/source
+            d.extend([a.get("hlo_category", "?"), a.get("source", "?")])
+    rows = []
+    for key, d in agg.items():
+        us, fl, by = d[0], d[1], d[2]
+        ms = us / steps / 1000.0
+        if ms < min_ms:
+            continue
+        tfs = fl / (us * 1e-6) / 1e12 if us else 0.0
+        gbs = by / (us * 1e-6) / 1e9 if us else 0.0
+        rows.append((ms, tfs, gbs, key, d[4], d[5]))
+    rows.sort(reverse=True)
+    lines = [
+        "-- roofline (per deduplicated op; achieved vs chip peaks) --",
+        f"{'ms/step':>8} {'TF/s':>7} {'GB/s':>7}  op  [category]  source",
+    ]
+    for ms, tfs, gbs, key, cat, src in rows[:top]:
+        src = src.split("/")[-1] if src else "?"
+        lines.append(
+            f"{ms:8.4f} {tfs:7.1f} {gbs:7.1f}  {key}  [{cat}]  {src}"
+        )
+    tot_ms = sum(r[0] for r in rows)
+    lines.append(f"(rows >= {min_ms} ms: {len(rows)}, {tot_ms:.3f} ms/step)")
+    return "\n".join(lines)
+
+
 def main(argv=None):
     import argparse
 
@@ -128,8 +172,17 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=1,
                     help="profiled steps (divides totals into per-step)")
     ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--roofline", action="store_true",
+                    help="per-op achieved TFLOP/s + GB/s table")
     args = ap.parse_args(argv)
-    print(summarize_logdir(args.logdir, args.steps, args.top))
+    if args.roofline:
+        trace = find_latest_trace(args.logdir)
+        if trace is None:
+            raise FileNotFoundError(
+                f"no trace.json.gz under {args.logdir}/plugins/profile")
+        print(roofline(load_device_ops(trace), args.steps, args.top))
+    else:
+        print(summarize_logdir(args.logdir, args.steps, args.top))
 
 
 if __name__ == "__main__":

@@ -237,3 +237,22 @@ def test_bins_for_percentage_parity(ref):
         np.asarray(mmath.bins_for_percentage(jnp.asarray(w), 0.9)),
         ref_math.bins_for_percentage(torch.tensor(w), 0.9).numpy(),
     )
+
+
+def test_ipe_double_angle_matches_direct():
+    """The double-angle recurrence (IPE_DOUBLE_ANGLE) must agree with the
+    direct per-degree evaluation far below bf16 resolution over the scene
+    coordinate range; the torch-oracle parity test above covers the direct
+    path's absolute correctness."""
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-6.0, 6.0, (64, 9, 3)).astype(np.float32)
+    var = np.abs(rng.normal(0.0, 0.05, (64, 9, 3))).astype(np.float32)
+    prev = mmath.IPE_DOUBLE_ANGLE
+    try:
+        mmath.IPE_DOUBLE_ANGLE = False
+        direct = np.asarray(mmath.integrated_pos_enc((jnp.asarray(x), jnp.asarray(var))))
+        mmath.IPE_DOUBLE_ANGLE = True
+        rec = np.asarray(mmath.integrated_pos_enc((jnp.asarray(x), jnp.asarray(var))))
+    finally:
+        mmath.IPE_DOUBLE_ANGLE = prev
+    assert np.max(np.abs(direct - rec)) < 2e-4  # bf16 eps is 3.9e-3

@@ -178,3 +178,32 @@ def test_render_rays_jit_and_grad():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     # dp_loss + rgb losses must touch both networks.
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_skip_fold_trunk0_exact():
+    """SKIP_FOLD_TRUNK0 (off by default — measured slower on chip, kept as a
+    documented variant) must stay exact vs the split-skip trunk: same param
+    tree, forward and grads within f32 rounding."""
+    from ddnerf_tpu.models import mlp as M
+
+    ipe = jnp.asarray(np.random.RandomState(0).randn(8, 5, 96).astype(np.float32))
+    dirs = jnp.asarray(np.random.RandomState(1).randn(8, 1, 27).astype(np.float32))
+    model = DepthMipMLP()
+    prev = M.SKIP_FOLD_TRUNK0
+    try:
+        M.SKIP_FOLD_TRUNK0 = False
+        params = model.init(jax.random.PRNGKey(0), ipe, dirs)
+        out = model.apply(params, ipe, dirs)
+        grads = jax.grad(lambda p: jnp.sum(model.apply(p, ipe, dirs) ** 2))(params)
+        M.SKIP_FOLD_TRUNK0 = True
+        params_f = model.init(jax.random.PRNGKey(0), ipe, dirs)
+        out_f = model.apply(params, ipe, dirs)
+        grads_f = jax.grad(lambda p: jnp.sum(model.apply(p, ipe, dirs) ** 2))(params)
+    finally:
+        M.SKIP_FOLD_TRUNK0 = prev
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_f), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(grads), jax.tree_util.tree_leaves(grads_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)

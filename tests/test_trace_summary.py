@@ -83,3 +83,34 @@ def test_real_cpu_capture_parses_without_ops(tmp_path):
     assert ts.load_device_ops(trace) == []
     out = ts.summarize_logdir(logdir, steps=1)
     assert "device op time: 0.000" in out
+
+
+def test_roofline_synthetic_trace(tmp_path):
+    """Roofline table: achieved TF/s and GB/s derive from the trace's own
+    model_flops / bytes_accessed args; sub-threshold ops are dropped."""
+    trace = str(tmp_path / "plugins" / "profile" / "r" / "host.trace.json.gz")
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 3, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        # 1 ms, 100 GFLOP, 200 MB -> 100 TF/s, 200 GB/s
+        {"ph": "X", "pid": 3, "tid": 3, "name": "fusion.9", "ts": 0,
+         "dur": 1000,
+         "args": {"hlo_category": "convolution fusion",
+                  "source": "/repo/mlp.py:1",
+                  "model_flops": str(100 * 10**9),
+                  "bytes_accessed": str(200 * 10**6)}},
+        # below the 0.01 ms cutoff: must not appear
+        {"ph": "X", "pid": 3, "tid": 3, "name": "tiny.1", "ts": 2000, "dur": 1,
+         "args": {"hlo_category": "copy", "model_flops": "0",
+                  "bytes_accessed": "10"}},
+    ]
+    _write_trace(trace, events)
+    out = ts.roofline(ts.load_device_ops(trace), steps=1)
+    assert "fusion.9" in out and "tiny.1" not in out
+    line = next(l for l in out.splitlines() if "fusion.9" in l)
+    cols = line.split()
+    assert float(cols[0]) == pytest.approx(1.0)    # ms/step
+    assert float(cols[1]) == pytest.approx(100.0)  # TF/s
+    assert float(cols[2]) == pytest.approx(200.0)  # GB/s
