@@ -19,7 +19,18 @@ def main():
     ap.add_argument("--scan", type=int, default=8)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default="/tmp/ddnerf_profile")
+    ap.add_argument("--flags", default="",
+                    help="comma-separated MODULE.FLAG=VALUE trace-time "
+                         "switches (same syntax as benchmarks/ab.py)")
     args = ap.parse_args()
+
+    if args.flags:
+        import importlib
+
+        for item in filter(None, (s.strip() for s in args.flags.split(","))):
+            target, _, value = item.partition("=")
+            modname, _, flag = target.rpartition(".")
+            setattr(importlib.import_module(modname), flag, eval(value))
 
     import jax
     import jax.numpy as jnp

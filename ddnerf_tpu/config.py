@@ -166,10 +166,13 @@ class ParallelConfig:
     num_devices: int = 0  # 0 => use all available devices
     # precision policy for the MLP evaluation ("bfloat16" rides the MXU at 2x).
     compute_dtype: str = "float32"
-    # Fused Pallas MLP kernel: "off" | "render" | "all".  Off by default:
-    # it was a +30% render win while the pipeline was gather-bound, but after
-    # the one-hot gather rewrite plain XLA fuses the whole forward better
-    # (729k vs 526k rays/s on v5e) — see PERF.md for the measurement story.
+    # Fused Pallas MLP kernel: "off" | "render" | "all" | "train".
+    # "render"/"all" use the forward kernels (kernels/fused_mlp.py,
+    # fused_ipe_mlp.py) — measured a net loss vs XLA's end-to-end fusion
+    # after the one-hot gather rewrite (PERF.md).  "train" uses the fused
+    # *backward* kernel for training steps only (kernels/fused_mlp_bwd.py):
+    # the per-network backward runs block-resident in VMEM, +25% on the
+    # isolated network fwd+bwd on v5e (see PERF.md round-3).
     pallas_mlp: str = "off"
     # legacy bool alias for pallas_mlp ("all" when True)
     use_pallas_mlp: bool = False

@@ -85,6 +85,10 @@ class ScheduleValues(NamedTuple):
 # _run_network).  Default on; A/B benchmarks flip it.
 _REMAT_IPE = True
 
+# Trace-time override of cfg.parallel.pallas_mlp for A/B harnesses
+# (benchmarks/ab.py applies MODULE.FLAG=VALUE assignments, not config edits).
+_FORCE_PALLAS_POLICY = None
+
 
 def _dtype_of(cfg: Config):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
@@ -132,10 +136,16 @@ class NerfPipeline:
 
     # --------------------------------------------------------------- network
 
-    def _use_pallas(self, mode: str) -> bool:
+    def _pallas_policy(self) -> str:
+        if _FORCE_PALLAS_POLICY is not None:
+            return _FORCE_PALLAS_POLICY
         policy = self.cfg.parallel.pallas_mlp
         if self.cfg.parallel.use_pallas_mlp:  # legacy bool alias
             policy = "all"
+        return policy
+
+    def _use_pallas(self, mode: str) -> bool:
+        policy = self._pallas_policy()
         if policy == "all":
             return True
         # "render": auto-enable only on real hardware — interpret mode is a
@@ -155,6 +165,34 @@ class NerfPipeline:
         means, covs = mmath.cast_rays(
             t_vals, rays.origins, rays.directions, rays.radii, self.cfg.nerf.ray_shape
         )
+        if self._pallas_policy() == "train" and mode == "train":
+            # Fused-backward train kernel: the whole per-network backward
+            # (relu masks, dgrad chain, all weight/bias grads) runs in VMEM
+            # per row-block with the forward recomputed in-block — no
+            # activation slab ever round-trips HBM (kernels/fused_mlp_bwd.py).
+            from ddnerf_tpu.kernels.fused_mlp_bwd import fused_mlp_train_apply
+
+            depth_head = isinstance(module, DepthMipMLP)
+            out_dim = 6 if depth_head else 4
+            n, s = means.shape[0], means.shape[1]
+            ipe = mmath.integrated_pos_enc((means, covs))
+            dirs_enc = mmath.positional_encoding(rays.viewdirs, num_freqs=4)
+            dirs_flat = jnp.broadcast_to(
+                dirs_enc[:, None, :], (n, s, dirs_enc.shape[-1])
+            ).reshape(n * s, -1)
+            cdt = _dtype_of(self.cfg)
+            # Cast the kernel inputs up front so the VJP residuals are the
+            # compute-dtype arrays (half the HBM of f32 residuals); the
+            # kernel's own casts then no-op.
+            flat = fused_mlp_train_apply(
+                params,
+                ipe.reshape(n * s, -1).astype(cdt),
+                dirs_flat.astype(cdt),
+                depth_head,
+                self._pallas_interpret,
+                cdt,
+            )
+            return flat.reshape(n, s, out_dim)
         if self._use_pallas(mode):
             # v2 kernel: IPE + viewdir PE + full MLP in VMEM; raw means/covs
             # in, radiance out (kernels/fused_ipe_mlp.py).

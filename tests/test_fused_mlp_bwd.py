@@ -1,0 +1,125 @@
+"""Fused-backward Pallas kernel: gradient parity against jax.grad of the
+jnp twin (interpret mode on CPU), block-size invariance, and zero input
+grads through the custom VJP."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddnerf_tpu.kernels.fused_mlp import _reference_apply
+from ddnerf_tpu.kernels.fused_mlp_bwd import (
+    fused_mlp_backward,
+    fused_mlp_train_apply,
+)
+from ddnerf_tpu.models.mlp import DepthMipMLP, MipMLP
+
+
+def _setup(depth_head, n=40, hidden=256, seed=0):
+    rng = np.random.default_rng(seed)
+    ipe = jnp.asarray(rng.standard_normal((n, 96)).astype(np.float32))
+    dirs = jnp.asarray(rng.standard_normal((n, 27)).astype(np.float32))
+    module = (DepthMipMLP if depth_head else MipMLP)(hidden_size=hidden)
+    params = module.init(jax.random.PRNGKey(seed), ipe, dirs)["params"]
+    return module, params, ipe, dirs
+
+
+def _ref_grads(params, ipe, dirs, depth_head, g):
+    def loss(p):
+        return jnp.sum(_reference_apply(p, ipe, dirs, depth_head) * g)
+
+    return jax.grad(loss)(params)
+
+
+@pytest.mark.parametrize("depth_head", [False, True])
+def test_backward_kernel_matches_autodiff(depth_head):
+    """f32 kernel vs f32 jax.grad of the jnp twin: tight agreement."""
+    _, params, ipe, dirs = _setup(depth_head, n=40)
+    out_dim = 6 if depth_head else 4
+    rng = np.random.default_rng(1)
+    g = jnp.asarray(
+        rng.standard_normal((40, out_dim)).astype(np.float32)
+    )
+    got = fused_mlp_backward(
+        params, ipe, dirs, g, depth_head=depth_head, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    want = _ref_grads(params, ipe, dirs, depth_head, g)
+    assert set(got.keys()) == set(want.keys())
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            a, b, rtol=2e-4, atol=2e-4
+        ),
+        got, want,
+    )
+
+
+def test_backward_block_size_invariance():
+    """Grid accumulation must be exact: one block vs many blocks."""
+    _, params, ipe, dirs = _setup(True, n=48)
+    rng = np.random.default_rng(2)
+    g = jnp.asarray(rng.standard_normal((48, 6)).astype(np.float32))
+    a = fused_mlp_backward(
+        params, ipe, dirs, g, depth_head=True, block_rows=48,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    b = fused_mlp_backward(
+        params, ipe, dirs, g, depth_head=True, block_rows=8,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-5),
+        a, b,
+    )
+
+
+def test_train_apply_end_to_end_gradients():
+    """custom_vjp wiring: grads through fused_mlp_train_apply (bf16 default
+    path, interpret mode) track the f32 reference within bf16 tolerance."""
+    _, params, ipe, dirs = _setup(True, n=24)
+
+    def loss_fused(p):
+        out = fused_mlp_train_apply(p, ipe, dirs, True, True)
+        return jnp.sum(out**2)
+
+    def loss_ref(p):
+        out = _reference_apply(p, ipe, dirs, True)
+        return jnp.sum(out**2)
+
+    g_fused = jax.grad(loss_fused)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-2),
+        g_fused, g_ref,
+    )
+
+
+def test_train_apply_input_grads_are_zero():
+    """t_vals/viewdirs are stop-gradient'd in the pipeline; the op must
+    return structural zeros for its input grads."""
+    _, params, ipe, dirs = _setup(False, n=16)
+
+    def loss(p, a, b):
+        return jnp.sum(fused_mlp_train_apply(p, a, b, False, True))
+
+    _, d_ipe, d_dirs = jax.grad(loss, argnums=(0, 1, 2))(params, ipe, dirs)
+    assert float(jnp.abs(d_ipe).max()) == 0.0
+    assert float(jnp.abs(d_dirs).max()) == 0.0
+
+
+def test_row_padding_does_not_leak_into_grads():
+    """Padded rows carry zero cotangent; grads must equal the unpadded ones
+    regardless of how much block padding is applied."""
+    _, params, ipe, dirs = _setup(True, n=10)
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.standard_normal((10, 6)).astype(np.float32))
+    a = fused_mlp_backward(
+        params, ipe, dirs, g, depth_head=True, block_rows=8,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    want = _ref_grads(params, ipe, dirs, True, g)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=2e-4, atol=2e-4),
+        a, want,
+    )

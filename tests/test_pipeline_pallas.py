@@ -35,3 +35,43 @@ def test_pallas_pipeline_matches_xla(nerf_type):
                 np.asarray(out_pallas[i][key]), np.asarray(out_xla[i][key]),
                 rtol=2e-3, atol=2e-3, err_msg=f"cycle {i} {key}",
             )
+
+
+@pytest.mark.parametrize("nerf_type", ["GeneralMipNerfModel", "DDNerfModel"])
+def test_train_policy_gradients_match_xla(nerf_type):
+    """pallas_mlp="train": full train-loss gradients through the fused
+    Pallas backward kernel (interpret mode on CPU) must match the XLA path.
+
+    f32 compute so the only differences are summation order inside the
+    kernels."""
+    import jax.numpy as jnp
+
+    from ddnerf_tpu.train.step import compute_loss, schedule_values
+
+    cfg = tiny_cfg(nerf_type).replace_at("parallel.compute_dtype", "float32")
+    rays = make_rays(8)
+    target = jax.random.uniform(jax.random.PRNGKey(7), (8, 3))
+    sched = schedule_values(cfg, 10)
+    rng = jax.random.PRNGKey(3)
+
+    pipe_xla = NerfPipeline(cfg)
+    params = pipe_xla.init_params(jax.random.PRNGKey(0))
+
+    def grads_for(pipe):
+        def loss_fn(p):
+            loss, _ = compute_loss(pipe.cfg, pipe, p, rays, target, rng, sched)
+            return loss
+
+        return jax.grad(loss_fn)(params)
+
+    g_xla = grads_for(pipe_xla)
+    g_pallas = grads_for(
+        NerfPipeline(cfg.replace_at("parallel.pallas_mlp", "train"))
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            rtol=5e-3, atol=5e-5 * max(1.0, float(jnp.abs(b).max())),
+        ),
+        g_pallas, g_xla,
+    )
