@@ -51,12 +51,40 @@ def _mm(a, w):
     )
 
 
+def _ray_one_hot(rows: int, rays: int, samples: int, dtype):
+    """[rows, rays] one-hot of each row's ray index (row // samples).
+
+    Exactly 0/1, so a ``precision=HIGHEST`` contraction with it is an exact
+    per-ray broadcast — the same trick as core/sampling.py's stacked fetch.
+    """
+    row_ray = jax.lax.broadcasted_iota(jnp.int32, (rows, rays), 0) // samples
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, rays), 1)
+    return (row_ray == col).astype(dtype)
+
+
+def _expand_per_ray(per_ray, rows: int, samples: int):
+    """Broadcast [R, F] per-ray values to [R*samples, F] rows (exact)."""
+    oh = _ray_one_hot(rows, per_ray.shape[0], samples, jnp.float32)
+    return jax.lax.dot_general(
+        oh, per_ray.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _kernel(
+    samples,
     ipe_ref,
     dirs_ref,
     *refs,
 ):
     """One row-block through the full network.
+
+    ``samples`` (static): 0 = ``dirs_ref`` holds per-sample rows [B, LANE];
+    K > 0 = ``dirs_ref`` holds PER-RAY rows [B // K, LANE] and the dir
+    projection is computed at per-ray rank then broadcast — S× fewer dir
+    FLOPs and S× less dirs HBM traffic (mirrors mlp._mlp_heads' per-ray
+    projection on the XLA path).
 
     refs = [w0..w7, w5i, b_trunk, wf, bf_wa_packed..., ...] — see the packing
     order in :func:`_pack_params`; out_ref is last.
@@ -88,7 +116,13 @@ def _kernel(
 
     alpha = _mm(feat, wa[:]) + b_alpha[:]  # [block, LANE], col 0 valid
 
-    h = _mm(feat, wd_feat[:]) + _mm(dirs_ref[:], wd_dirs[:]) + bd[:]
+    if samples:
+        dproj = _expand_per_ray(
+            _mm(dirs_ref[:], wd_dirs[:]), ipe.shape[0], samples
+        )
+    else:
+        dproj = _mm(dirs_ref[:], wd_dirs[:])
+    h = _mm(feat, wd_feat[:]) + dproj + bd[:]
     h = jnp.maximum(h, 0.0).astype(dtype)
 
     heads = _mm(h, w_heads[:]) + b_heads[:]  # [block, LANE]: rgb(3), mu(2)
@@ -154,6 +188,27 @@ def _pad_to(x, rows=None, cols=None):
     return jnp.pad(x, ((0, pr), (0, pc))) if (pr or pc) else x
 
 
+def plan_blocks(n: int, samples: int, block_rows: int, rays_per_block: int):
+    """(padded rows, row-block size, dirs-block size) for the two dirs modes.
+
+    Per-sample (samples == 0): rows pad to ``block_rows``; dirs rows ride
+    along.  Per-ray (samples == K): blocks cover ``rays_per_block`` whole
+    rays (block = R*K rows, a multiple of 16 whenever R is), rays pad to a
+    multiple of R.
+    """
+    if not samples:
+        n_pad = -(-max(n, 1) // block_rows) * block_rows
+        return n_pad, block_rows, block_rows
+    if n % samples:
+        raise ValueError(
+            f"per-ray dirs need ray-major rows: {n} rows is not a multiple "
+            f"of samples_per_ray={samples}"
+        )
+    rays = n // samples
+    rays_pad = -(-max(rays, 1) // rays_per_block) * rays_per_block
+    return rays_pad * samples, rays_per_block * samples, rays_per_block
+
+
 def fused_mlp_forward(
     params: dict,
     ipe: jax.Array,
@@ -163,28 +218,35 @@ def fused_mlp_forward(
     block_rows: int = 1024,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    samples_per_ray: int = 0,
+    rays_per_block: int = 32,
 ) -> jax.Array:
-    """Evaluate MipMLP/DepthMipMLP on [N, 96] IPE + [N, 27] dir features.
+    """Evaluate MipMLP/DepthMipMLP on [N, 96] IPE + dir features.
 
-    Returns [N, 4 or 6] float32: (rgb, alpha[, mu, sigma]) — same layout as
-    the flax modules.
+    ``dirs`` is per-sample [N, 27] by default; with ``samples_per_ray=K``
+    it is PER-RAY [N // K, 27] (rows of ``ipe`` are ray-major) and the dir
+    projection broadcasts inside the kernel.  Returns [N, 4 or 6] float32:
+    (rgb, alpha[, mu, sigma]) — same layout as the flax modules.
     """
     n = ipe.shape[0]
     out_dim = 6 if depth_head else 4
-    n_pad = -(-max(n, 1) // block_rows) * block_rows
+    n_pad, block_rows, dirs_block = plan_blocks(
+        n, samples_per_ray, block_rows, rays_per_block
+    )
+    dirs_rows = n_pad // samples_per_ray if samples_per_ray else n_pad
 
     ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad, cols=LANE)
-    dirs_p = _pad_to(dirs.astype(compute_dtype), rows=n_pad, cols=LANE)
+    dirs_p = _pad_to(dirs.astype(compute_dtype), rows=dirs_rows, cols=LANE)
     packed = _pack_params(params, depth_head, compute_dtype)
 
     grid = (n_pad // block_rows,)
     in_specs = [
         pl.BlockSpec((block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dirs_block, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in packed]
 
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, samples_per_ray),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(

@@ -45,7 +45,9 @@ from ddnerf_tpu.kernels.fused_mlp import (
     _mm,
     _pack_params,
     _pad_to,
+    _ray_one_hot,
     fused_mlp_forward,
+    plan_blocks,
 )
 
 # Rows per grid block.  VMEM: ~10 x [B, 256] bf16 activation scratch
@@ -67,8 +69,22 @@ def _mm_bt(a, b):
     )
 
 
-def _bwd_kernel(ipe_ref, dirs_ref, g_ref, *refs):
+def _mm_exact(a, b):
+    """f32 contraction at HIGHEST precision — exact for 0/1 one-hot
+    operands (the same guarantee core/sampling.py's stacked fetch relies
+    on; default TPU precision would quantize through bf16)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _bwd_kernel(samples, ipe_ref, dirs_ref, g_ref, *refs):
     """One row-block: recompute the forward in VMEM, then the full backward.
+
+    ``samples`` (static): 0 = per-sample ``dirs_ref`` [B, LANE]; K > 0 =
+    PER-RAY ``dirs_ref`` [B // K, LANE] with the dir projection broadcast /
+    reduced through an exact one-hot contraction (see fused_mlp._kernel).
 
     refs = packed forward weights (fused_mlp._pack_params order), then the
     13 gradient outputs, then the activation scratch.  Outputs accumulate
@@ -102,9 +118,13 @@ def _bwd_kernel(ipe_ref, dirs_ref, g_ref, *refs):
         acts_ref[i] = x
     feat = (_mm(x, wf[:]) + bf[:]).astype(cdt)  # fc_feat has no activation
     acts_ref[NUM_TRUNK] = feat
-    h = jnp.maximum(
-        _mm(feat, wd_feat[:]) + _mm(dirs, wd_dirs[:]) + bd[:], 0.0
-    ).astype(cdt)
+    if samples:
+        oh = _ray_one_hot(nb, nb // samples, samples, jnp.float32)
+        dproj = _mm_exact(oh, _mm(dirs, wd_dirs[:]))
+    else:
+        oh = None
+        dproj = _mm(dirs, wd_dirs[:])
+    h = jnp.maximum(_mm(feat, wd_feat[:]) + dproj + bd[:], 0.0).astype(cdt)
 
     # ---- backward --------------------------------------------------------
     pid = pl.program_id(0)
@@ -124,30 +144,43 @@ def _bwd_kernel(ipe_ref, dirs_ref, g_ref, *refs):
             else:
                 ref[idx] = ref[idx] + val
 
-    g = g_ref[:]  # [B, LANE] f32; lanes: rgb(0:3), alpha(3), heads 3.. (4:)
+    g = g_ref[:]  # [B, LANE] cdt; lanes: rgb(0:3), alpha(3), heads 3.. (4:)
     # Forward packed lanes as [heads 0:3 | alpha | heads 3:LANE-1]; invert.
-    g_heads_f = jnp.concatenate(
-        [g[:, 0:3], g[:, 4:LANE], jnp.zeros((nb, 1), jnp.float32)], axis=1
+    g_heads = jnp.concatenate(
+        [g[:, 0:3], g[:, 4:LANE], jnp.zeros((nb, 1), cdt)], axis=1
     )
-    g_heads = g_heads_f.astype(cdt)
     accum(d_w_heads, _mm_t(h, g_heads))
-    accum(d_b_heads, jnp.sum(g_heads_f, axis=0, keepdims=True))
+    accum(
+        d_b_heads,
+        jnp.sum(g_heads.astype(jnp.float32), axis=0, keepdims=True),
+    )
 
     g_h = _mm_bt(g_heads, w_heads[:])
     # Mask compares run in f32: Mosaic on this target rejects bf16 cmpf.
     g_h = jnp.where(h.astype(jnp.float32) > 0, g_h, 0.0)
     g_h_c = g_h.astype(cdt)
     accum(d_wd_feat, _mm_t(feat, g_h_c))
-    accum(d_wd_dirs, _mm_t(dirs, g_h_c))
+    if samples:
+        # Per-ray cotangent of the dir projection: exact one-hot reduce
+        # over each ray's samples, then one small [R,*]^T wgrad.
+        g_dproj = jax.lax.dot_general(
+            oh, g_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        accum(d_wd_dirs, _mm_t(dirs, g_dproj.astype(cdt)))
+    else:
+        accum(d_wd_dirs, _mm_t(dirs, g_h_c))
     accum(d_bd, jnp.sum(g_h, axis=0, keepdims=True))
     g_feat = _mm_bt(g_h_c, wd_feat[:])
 
-    g_a_f = jnp.concatenate(
-        [g[:, 3:4], jnp.zeros((nb, LANE - 1), jnp.float32)], axis=1
+    g_a = jnp.concatenate(
+        [g[:, 3:4], jnp.zeros((nb, LANE - 1), cdt)], axis=1
     )
-    g_a = g_a_f.astype(cdt)
     accum(d_wa, _mm_t(feat, g_a))
-    accum(d_ba, jnp.sum(g_a_f, axis=0, keepdims=True))
+    accum(
+        d_ba, jnp.sum(g_a.astype(jnp.float32), axis=0, keepdims=True)
+    )
     g_feat = g_feat + _mm_bt(g_a, wa[:])
 
     g_feat_c = g_feat.astype(cdt)
@@ -183,10 +216,13 @@ def fused_mlp_backward(
     block_rows: int | None = None,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    samples_per_ray: int = 0,
+    rays_per_block: int = 32,
 ) -> dict:
     """Parameter gradients of :func:`fused_mlp_forward` for cotangent ``g``.
 
-    ``ipe [N, 96]``, ``dirs [N, 27]`` (per-sample), ``g [N, 4 or 6]``.
+    ``ipe [N, 96]``, ``g [N, 4 or 6]``; ``dirs`` is per-sample [N, 27], or
+    per-ray [N // K, 27] with ``samples_per_ray=K`` (ray-major rows).
     Returns a grad pytree matching ``params`` (f32).
     """
     n = ipe.shape[0]
@@ -196,16 +232,26 @@ def fused_mlp_backward(
     ipe_in = ipe.shape[1]
     if block_rows is None:
         block_rows = BWD_BLOCK_ROWS  # module global: tunable at trace time
-    n_pad = -(-max(n, 1) // block_rows) * block_rows
+    n_pad, block_rows, dirs_block = plan_blocks(
+        n, samples_per_ray, block_rows, rays_per_block
+    )
+    dirs_rows = n_pad // samples_per_ray if samples_per_ray else n_pad
 
     ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad, cols=LANE)
-    dirs_p = _pad_to(dirs.astype(compute_dtype), rows=n_pad, cols=LANE)
-    g_p = _pad_to(g.astype(jnp.float32), rows=n_pad, cols=LANE)
+    dirs_p = _pad_to(dirs.astype(compute_dtype), rows=dirs_rows, cols=LANE)
+    # The cotangent rides HBM in the compute dtype: the kernel quantizes it
+    # to bf16 for every matmul anyway (the same quantization XLA applies to
+    # the wgrad operands), and the padded [M, 128] f32 form cost ~0.2 ms of
+    # pure pad traffic per step in the trace digest.
+    g_p = _pad_to(g.astype(compute_dtype), rows=n_pad, cols=LANE)
     packed = _pack_params(params, depth_head, compute_dtype)
 
     grid = (n_pad // block_rows,)
     row_spec = lambda: pl.BlockSpec(  # noqa: E731
         (block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    dirs_spec = pl.BlockSpec(
+        (dirs_block, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
@@ -236,9 +282,9 @@ def fused_mlp_backward(
     )
 
     outs = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, samples_per_ray),
         grid=grid,
-        in_specs=[row_spec(), row_spec(), row_spec()]
+        in_specs=[row_spec(), dirs_spec, row_spec()]
         + [full() for _ in packed],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -281,37 +327,39 @@ def _zeros(ndim, *_idx):
     return (0,) * ndim
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_mlp_train_apply(
     params, ipe, dirs, depth_head: bool, interpret: bool = False,
-    compute_dtype=jnp.bfloat16,
+    compute_dtype=jnp.bfloat16, samples_per_ray: int = 0,
 ):
     """Fused Pallas forward + fused Pallas backward.
 
     Training twin of :func:`fused_mlp.fused_mlp_apply` (whose backward is a
-    jnp recompute — an extra full XLA forward).  Input gradients are
-    structurally zero (see module docstring); this op returns zeros for them,
-    which DCE removes because the callers stop-gradient those inputs.
+    jnp recompute — an extra full XLA forward).  With ``samples_per_ray=K``,
+    ``dirs`` is per-ray [N // K, 27].  Input gradients are structurally zero
+    (see module docstring); this op returns zeros for them, which DCE
+    removes because the callers stop-gradient those inputs.
     """
     return fused_mlp_forward(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
     )
 
 
-def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype):
+def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype,
+         samples_per_ray):
     out = fused_mlp_forward(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
     )
     return out, (params, ipe, dirs)
 
 
-def _bwd(depth_head, interpret, compute_dtype, res, g):
+def _bwd(depth_head, interpret, compute_dtype, samples_per_ray, res, g):
     params, ipe, dirs = res
     grads = fused_mlp_backward(
         params, ipe, dirs, g, depth_head=depth_head, interpret=interpret,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
     )
     return grads, jnp.zeros_like(ipe), jnp.zeros_like(dirs)
 

@@ -89,6 +89,15 @@ _REMAT_IPE = True
 # (benchmarks/ab.py applies MODULE.FLAG=VALUE assignments, not config edits).
 _FORCE_PALLAS_POLICY = None
 
+# Feed the train kernels PER-RAY dirs ([N, 27], broadcast in-kernel through
+# an exact one-hot contraction) instead of pre-broadcast per-sample rows.
+# MEASURED NEGATIVE on v5e: 368.0k vs 389.6k rays/s (interleaved A/B) — the
+# per-block iota/compare + HIGHEST-precision expand costs more than the 34
+# MB/step of dirs traffic it saves, and the 32*S-row blocks (1056) schedule
+# slightly worse than 1024.  Kept as a switch: the trade flips wherever HBM
+# is scarcer relative to VPU (larger S, narrower chips).
+_KERNEL_PER_RAY_DIRS = False
+
 
 def _dtype_of(cfg: Config):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
@@ -175,22 +184,31 @@ class NerfPipeline:
             depth_head = isinstance(module, DepthMipMLP)
             out_dim = 6 if depth_head else 4
             n, s = means.shape[0], means.shape[1]
-            ipe = mmath.integrated_pos_enc((means, covs))
+            # Flatten BEFORE the IPE so the big [N*S, 96] feature array is
+            # born in the kernel's row-major layout (no post-hoc reshape).
+            ipe = mmath.integrated_pos_enc(
+                (means.reshape(n * s, 3), covs.reshape(n * s, 3))
+            )
             dirs_enc = mmath.positional_encoding(rays.viewdirs, num_freqs=4)
-            dirs_flat = jnp.broadcast_to(
-                dirs_enc[:, None, :], (n, s, dirs_enc.shape[-1])
-            ).reshape(n * s, -1)
             cdt = _dtype_of(self.cfg)
+            if _KERNEL_PER_RAY_DIRS:
+                dirs_in, spr = dirs_enc, s
+            else:
+                dirs_in = jnp.broadcast_to(
+                    dirs_enc[:, None, :], (n, s, dirs_enc.shape[-1])
+                ).reshape(n * s, -1)
+                spr = 0
             # Cast the kernel inputs up front so the VJP residuals are the
             # compute-dtype arrays (half the HBM of f32 residuals); the
             # kernel's own casts then no-op.
             flat = fused_mlp_train_apply(
                 params,
-                ipe.reshape(n * s, -1).astype(cdt),
-                dirs_flat.astype(cdt),
+                ipe.astype(cdt),
+                dirs_in.astype(cdt),
                 depth_head,
                 self._pallas_interpret,
                 cdt,
+                spr,
             )
             return flat.reshape(n, s, out_dim)
         if self._use_pallas(mode):

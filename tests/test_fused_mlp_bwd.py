@@ -123,3 +123,48 @@ def test_row_padding_does_not_leak_into_grads():
         lambda x, y: np.testing.assert_allclose(x, y, rtol=2e-4, atol=2e-4),
         a, want,
     )
+
+
+def test_per_ray_dirs_forward_matches_per_sample():
+    """samples_per_ray: per-ray dirs + in-kernel broadcast must equal the
+    per-sample path (exact one-hot contraction)."""
+    import jax.numpy as jnp
+
+    from ddnerf_tpu.kernels.fused_mlp import fused_mlp_forward
+
+    _, params, ipe, _ = _setup(True, n=33 * 5)
+    rng = np.random.default_rng(4)
+    dirs_ray = jnp.asarray(rng.standard_normal((5, 27)).astype(np.float32))
+    dirs_full = jnp.repeat(dirs_ray, 33, axis=0)
+    a = fused_mlp_forward(
+        params, ipe, dirs_full, depth_head=True, block_rows=66,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    b = fused_mlp_forward(
+        params, ipe, dirs_ray, depth_head=True,
+        compute_dtype=jnp.float32, interpret=True,
+        samples_per_ray=33, rays_per_block=2,
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_per_ray_dirs_backward_matches_autodiff():
+    """Per-ray backward (incl. ray padding to rays_per_block) vs jax.grad
+    of the jnp twin on the expanded dirs."""
+    import jax.numpy as jnp
+
+    _, params, ipe, _ = _setup(True, n=33 * 5)
+    rng = np.random.default_rng(5)
+    dirs_ray = jnp.asarray(rng.standard_normal((5, 27)).astype(np.float32))
+    dirs_full = jnp.repeat(dirs_ray, 33, axis=0)
+    g = jnp.asarray(rng.standard_normal((33 * 5, 6)).astype(np.float32))
+    got = fused_mlp_backward(
+        params, ipe, dirs_ray, g, depth_head=True,
+        compute_dtype=jnp.float32, interpret=True,
+        samples_per_ray=33, rays_per_block=4,  # 5 rays -> pads to 8
+    )
+    want = _ref_grads(params, ipe, dirs_full, True, g)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4),
+        got, want,
+    )

@@ -391,3 +391,34 @@ def test_image_from_pose_mesh_matches_single_device():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(out1[1]["depth"], out8[1]["depth"],
                                rtol=2e-3, atol=2e-4)
+
+
+@requires_multidevice
+def test_sharded_step_with_fused_backward_kernel():
+    """pallas_mlp="train" composes with the ray-sharded step: the fused
+    Pallas forward/backward kernels run per-shard under shard_map
+    (interpret mode on the CPU mesh) and match the single-device XLA step."""
+    cfg = tiny_cfg().replace_at("parallel.pallas_mlp", "train")
+    cfg, batch = batch_for(cfg)
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+
+    ref_pipe = NerfPipeline(cfg.replace_at("parallel.pallas_mlp", "off"))
+    single = jax.jit(make_train_step(cfg, ref_pipe))
+    s1, m1 = single(state, batch)
+
+    mesh = pmesh.make_mesh(8)
+    sharded_step = pmesh.make_sharded_train_step(
+        cfg.replace_at("parallel.donate_state", False), pipe, mesh
+    )
+    sbatch = pmesh.shard_batch(mesh, batch)
+    s8, m8 = sharded_step(state, sbatch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    for l1, l8 in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s8.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l8), rtol=2e-3, atol=2e-5
+        )
