@@ -200,11 +200,18 @@ class NerfPipeline:
                 spr = 0
             # Cast the kernel inputs up front so the VJP residuals are the
             # compute-dtype arrays (half the HBM of f32 residuals); the
-            # kernel's own casts then no-op.
+            # kernel's own casts then no-op.  stop_gradient on the inputs
+            # keeps AD from building an IPE backward over the op's
+            # zeros_like input cotangents (their grads are structurally
+            # zero: t_vals are stop-gradient'd upstream, viewdirs are
+            # data).  Measured neutral on chip (388.6k vs 389.6k, within
+            # variance) — XLA was already folding the zero chains — but it
+            # guards that independence from future graph changes for free.
+            sg = jax.lax.stop_gradient
             flat = fused_mlp_train_apply(
                 params,
-                ipe.astype(cdt),
-                dirs_in.astype(cdt),
+                sg(ipe.astype(cdt)),
+                sg(dirs_in.astype(cdt)),
                 depth_head,
                 self._pallas_interpret,
                 cdt,
