@@ -59,10 +59,11 @@ def main():
                 "far": 6.0,
                 "single_image_mode": True,
             },
-            # pallas_mlp="train": the fused-backward Pallas MLP kernel
-            # (kernels/fused_mlp_bwd.py) — +8.6% over the XLA train step
-            # (389.6k vs 358.9k rays/s, interleaved A/B; quality-validated
-            # by a 5k-iter on-chip soak at the baseline 29.9 dB band).
+            # pallas_mlp="train": the fused-backward Pallas MLP kernel with
+            # activation stashing (kernels/fused_mlp_bwd.py) — +24% over
+            # the XLA train step (445.5k vs 358.9k rays/s at scan=8,
+            # interleaved A/B; quality-validated by 5k-iter on-chip soaks
+            # at the baseline 29.9 dB band).
             "parallel": {"compute_dtype": "bfloat16", "pallas_mlp": "train"},
         }
     ).resolved()

@@ -72,8 +72,18 @@ def _expand_per_ray(per_ray, rows: int, samples: int):
     )
 
 
+# Stashed activation slabs (bf16, written by the forward kernel when
+# ``stash=True``): trunk x0..x6 plus the dir-layer output h.  x7 and feat
+# are deliberately NOT stashed — the backward recomputes them from x6 in two
+# matmuls, keeping the forward's stash write traffic under its compute time
+# (the recompute is bit-identical: same bf16 inputs, same op order).
+NUM_STASH = 8
+STASH_H = 7  # slab index of h
+
+
 def _kernel(
     samples,
+    stash,
     ipe_ref,
     dirs_ref,
     *refs,
@@ -86,10 +96,16 @@ def _kernel(
     FLOPs and S× less dirs HBM traffic (mirrors mlp._mlp_heads' per-ray
     projection on the XLA path).
 
+    ``stash`` (static): write the NUM_STASH activation slabs to the second
+    output so the fused backward can skip its forward recompute.
+
     refs = [w0..w7, w5i, b_trunk, wf, bf_wa_packed..., ...] — see the packing
-    order in :func:`_pack_params`; out_ref is last.
+    order in :func:`_pack_params`; out_ref(s) are last.
     """
-    out_ref = refs[-1]
+    if stash:
+        out_ref, stash_ref = refs[-2], refs[-1]
+    else:
+        out_ref = refs[-1]
     (w_trunk0, *w_trunk_rest) = refs[0:NUM_TRUNK]
     w5i = refs[NUM_TRUNK]
     b_trunk = refs[NUM_TRUNK + 1]  # [NUM_TRUNK, hidden] f32
@@ -110,6 +126,10 @@ def _kernel(
         if i == SKIP_LAYER:
             acc = acc + _mm(ipe, w5i[:])
         x = jnp.maximum(acc + b_trunk[i, :][None, :], 0.0).astype(dtype)
+        if stash and i < NUM_TRUNK - 1:
+            # Slabs are max(hidden, dir_hidden) wide; values ride the
+            # first lanes (hidden < dir_hidden only in tiny test models).
+            stash_ref[i, :, 0 : x.shape[-1]] = x
 
     feat_f32 = _mm(x, wf[:]) + bf[:]
     feat = feat_f32.astype(dtype)
@@ -124,6 +144,8 @@ def _kernel(
         dproj = _mm(dirs_ref[:], wd_dirs[:])
     h = _mm(feat, wd_feat[:]) + dproj + bd[:]
     h = jnp.maximum(h, 0.0).astype(dtype)
+    if stash:
+        stash_ref[STASH_H, :, 0 : h.shape[-1]] = h
 
     heads = _mm(h, w_heads[:]) + b_heads[:]  # [block, LANE]: rgb(3), mu(2)
 
@@ -220,15 +242,21 @@ def fused_mlp_forward(
     interpret: bool = False,
     samples_per_ray: int = 0,
     rays_per_block: int = 32,
-) -> jax.Array:
+    stash: bool = False,
+):
     """Evaluate MipMLP/DepthMipMLP on [N, 96] IPE + dir features.
 
     ``dirs`` is per-sample [N, 27] by default; with ``samples_per_ray=K``
     it is PER-RAY [N // K, 27] (rows of ``ipe`` are ray-major) and the dir
     projection broadcasts inside the kernel.  Returns [N, 4 or 6] float32:
     (rgb, alpha[, mu, sigma]) — same layout as the flax modules.
+
+    ``stash=True`` additionally returns the [NUM_STASH, N_pad, hidden]
+    compute-dtype activation slabs for :func:`fused_mlp_bwd` (the padded
+    row count is internal — pass the array through unchanged).
     """
     n = ipe.shape[0]
+    hidden = params["fc_feat"]["kernel"].shape[0]
     out_dim = 6 if depth_head else 4
     n_pad, block_rows, dirs_block = plan_blocks(
         n, samples_per_ray, block_rows, rays_per_block
@@ -245,16 +273,38 @@ def fused_mlp_forward(
         pl.BlockSpec((dirs_block, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in packed]
 
+    out_specs = pl.BlockSpec(
+        (block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32)
+    if stash:
+        dir_hidden = params["dir_0"]["kernel"].shape[1]
+        stash_w = max(hidden, dir_hidden)
+        out_specs = (
+            out_specs,
+            pl.BlockSpec(
+                (NUM_STASH, block_rows, stash_w),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct(
+                (NUM_STASH, n_pad, stash_w), compute_dtype
+            ),
+        )
+
     out = pl.pallas_call(
-        functools.partial(_kernel, samples_per_ray),
+        functools.partial(_kernel, samples_per_ray, stash),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(ipe_p, dirs_p, *packed)
+    if stash:
+        return out[0][:n, :out_dim], out[1]
     return out[:n, :out_dim]
 
 

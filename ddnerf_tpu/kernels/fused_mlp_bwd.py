@@ -40,8 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ddnerf_tpu.kernels.fused_mlp import (
     LANE,
+    NUM_STASH,
     NUM_TRUNK,
     SKIP_LAYER,
+    STASH_H,
     _mm,
     _pack_params,
     _pad_to,
@@ -79,19 +81,32 @@ def _mm_exact(a, b):
     )
 
 
-def _bwd_kernel(samples, ipe_ref, dirs_ref, g_ref, *refs):
-    """One row-block: recompute the forward in VMEM, then the full backward.
+def _bwd_kernel(samples, use_stash, ipe_ref, dirs_ref, g_ref, *refs):
+    """One row-block: (re)build the forward activations, then the full
+    backward.
 
     ``samples`` (static): 0 = per-sample ``dirs_ref`` [B, LANE]; K > 0 =
     PER-RAY ``dirs_ref`` [B // K, LANE] with the dir projection broadcast /
     reduced through an exact one-hot contraction (see fused_mlp._kernel).
 
-    refs = packed forward weights (fused_mlp._pack_params order), then the
-    13 gradient outputs, then the activation scratch.  Outputs accumulate
-    across the (sequential) grid.
+    ``use_stash`` (static): read trunk x0..x6 and h from the forward
+    kernel's HBM stash (one extra blocked input after the weights) instead
+    of recomputing them — 10 matmuls fewer per block, traded for stash DMA
+    that overlaps the remaining compute.  x7 and feat are recomputed from
+    x6 (bit-identical: same bf16 inputs, same op order as the forward).
+
+    refs = packed forward weights (fused_mlp._pack_params order),
+    [stash input when use_stash], the 13 gradient outputs, and (recompute
+    mode only) the activation scratch.  Outputs accumulate across the
+    (sequential) grid.
     """
-    acts_ref = refs[-1]
-    outs = refs[-14:-1]
+    if use_stash:
+        stash_ref = refs[-14]
+        outs = refs[-13:]
+        acts_ref = None
+    else:
+        acts_ref = refs[-1]
+        outs = refs[-14:-1]
     (d_w0, d_w_mid, d_w5i, d_b_trunk, d_wf, d_bf, d_wa, d_ba,
      d_wd_feat, d_wd_dirs, d_bd, d_w_heads, d_b_heads) = outs
 
@@ -108,23 +123,45 @@ def _bwd_kernel(samples, ipe_ref, dirs_ref, g_ref, *refs):
     cdt = ipe.dtype
     nb = ipe.shape[0]
 
-    # ---- forward recompute, activations stashed in VMEM scratch ----------
-    x = ipe
-    for i in range(NUM_TRUNK):
-        acc = _mm(x, w_trunk[i][:])
-        if i == SKIP_LAYER:
-            acc = acc + _mm(ipe, w5i[:])
-        x = jnp.maximum(acc + b_trunk[i, :][None, :], 0.0).astype(cdt)
-        acts_ref[i] = x
-    feat = (_mm(x, wf[:]) + bf[:]).astype(cdt)  # fc_feat has no activation
-    acts_ref[NUM_TRUNK] = feat
     if samples:
         oh = _ray_one_hot(nb, nb // samples, samples, jnp.float32)
-        dproj = _mm_exact(oh, _mm(dirs, wd_dirs[:]))
     else:
         oh = None
-        dproj = _mm(dirs, wd_dirs[:])
-    h = jnp.maximum(_mm(feat, wd_feat[:]) + dproj + bd[:], 0.0).astype(cdt)
+
+    if use_stash:
+        # ---- activations from the forward kernel's stash ------------------
+        hidden_w = wf.shape[0]  # slabs are max(hidden, dir_hidden) wide
+
+        def act(i):
+            return x7 if i == NUM_TRUNK - 1 else stash_ref[i, :, 0:hidden_w]
+
+        x7 = jnp.maximum(
+            _mm(act(NUM_TRUNK - 2), w_trunk[NUM_TRUNK - 1][:])
+            + b_trunk[NUM_TRUNK - 1, :][None, :],
+            0.0,
+        ).astype(cdt)
+        feat = (_mm(x7, wf[:]) + bf[:]).astype(cdt)
+        h = stash_ref[STASH_H, :, 0 : wd_feat.shape[1]]
+    else:
+        # ---- forward recompute, activations in VMEM scratch ---------------
+        def act(i):
+            return acts_ref[i]
+
+        x = ipe
+        for i in range(NUM_TRUNK):
+            acc = _mm(x, w_trunk[i][:])
+            if i == SKIP_LAYER:
+                acc = acc + _mm(ipe, w5i[:])
+            x = jnp.maximum(acc + b_trunk[i, :][None, :], 0.0).astype(cdt)
+            acts_ref[i] = x
+        feat = (_mm(x, wf[:]) + bf[:]).astype(cdt)  # fc_feat: no activation
+        if samples:
+            dproj = _mm_exact(oh, _mm(dirs, wd_dirs[:]))
+        else:
+            dproj = _mm(dirs, wd_dirs[:])
+        h = jnp.maximum(
+            _mm(feat, wd_feat[:]) + dproj + bd[:], 0.0
+        ).astype(cdt)
 
     # ---- backward --------------------------------------------------------
     pid = pl.program_id(0)
@@ -184,16 +221,16 @@ def _bwd_kernel(samples, ipe_ref, dirs_ref, g_ref, *refs):
     g_feat = g_feat + _mm_bt(g_a, wa[:])
 
     g_feat_c = g_feat.astype(cdt)
-    accum(d_wf, _mm_t(acts_ref[NUM_TRUNK - 1], g_feat_c))
+    accum(d_wf, _mm_t(act(NUM_TRUNK - 1), g_feat_c))
     accum(d_bf, jnp.sum(g_feat, axis=0, keepdims=True))
     gx = _mm_bt(g_feat_c, wf[:])
 
     db_rows = []
     for i in range(NUM_TRUNK - 1, -1, -1):
-        xi = acts_ref[i]
+        xi = act(i)
         gi = jnp.where(xi.astype(jnp.float32) > 0, gx, 0.0)
         gi_c = gi.astype(cdt)
-        prev = acts_ref[i - 1] if i > 0 else ipe
+        prev = act(i - 1) if i > 0 else ipe
         if i == 0:
             accum(d_w0, _mm_t(ipe, gi_c))
         else:
@@ -218,11 +255,14 @@ def fused_mlp_backward(
     interpret: bool = False,
     samples_per_ray: int = 0,
     rays_per_block: int = 32,
+    acts: jax.Array | None = None,
 ) -> dict:
     """Parameter gradients of :func:`fused_mlp_forward` for cotangent ``g``.
 
     ``ipe [N, 96]``, ``g [N, 4 or 6]``; ``dirs`` is per-sample [N, 27], or
     per-ray [N // K, 27] with ``samples_per_ray=K`` (ray-major rows).
+    ``acts``: the forward's ``stash=True`` output — when given, the kernel
+    reads the stashed activations instead of recomputing the forward.
     Returns a grad pytree matching ``params`` (f32).
     """
     n = ipe.shape[0]
@@ -281,21 +321,42 @@ def fused_mlp_backward(
         for s in out_shapes
     )
 
+    use_stash = acts is not None
+    inputs = [ipe_p, dirs_p, g_p, *packed]
+    in_specs = [row_spec(), dirs_spec, row_spec()] + [full() for _ in packed]
+    scratch_shapes = [
+        pltpu.VMEM((NUM_TRUNK + 1, block_rows, hidden), compute_dtype)
+    ]
+    if use_stash:
+        stash_w = max(hidden, dir_hidden)
+        if acts.shape != (NUM_STASH, n_pad, stash_w):
+            raise ValueError(
+                f"stash shape {acts.shape} does not match this call's "
+                f"padded plan ({NUM_STASH}, {n_pad}, {stash_w}) — pass the "
+                "stash through from the same-shaped forward"
+            )
+        inputs.append(acts)
+        in_specs.append(
+            pl.BlockSpec(
+                (NUM_STASH, block_rows, stash_w),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        scratch_shapes = []  # activations come from the stash
+
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, samples_per_ray),
+        functools.partial(_bwd_kernel, samples_per_ray, use_stash),
         grid=grid,
-        in_specs=[row_spec(), dirs_spec, row_spec()]
-        + [full() for _ in packed],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((NUM_TRUNK + 1, block_rows, hidden), compute_dtype)
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
-    )(ipe_p, dirs_p, g_p, *packed)
+    )(*inputs)
 
     (d_w0, d_w_mid, d_w5i, d_b_trunk, d_wf, d_bf, d_wa, d_ba,
      d_wd_feat, d_wd_dirs, d_bd, d_w_heads, d_b_heads) = outs
@@ -327,18 +388,23 @@ def _zeros(ndim, *_idx):
     return (0,) * ndim
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_mlp_train_apply(
     params, ipe, dirs, depth_head: bool, interpret: bool = False,
     compute_dtype=jnp.bfloat16, samples_per_ray: int = 0,
+    stash: bool = False,
 ):
     """Fused Pallas forward + fused Pallas backward.
 
     Training twin of :func:`fused_mlp.fused_mlp_apply` (whose backward is a
     jnp recompute — an extra full XLA forward).  With ``samples_per_ray=K``,
-    ``dirs`` is per-ray [N // K, 27].  Input gradients are structurally zero
-    (see module docstring); this op returns zeros for them, which DCE
-    removes because the callers stop-gradient those inputs.
+    ``dirs`` is per-ray [N // K, 27].  ``stash=True`` has the forward kernel
+    write its activations to HBM (bf16) so the backward kernel reads them
+    instead of recomputing the forward — 10 matmuls fewer per block, traded
+    for stash DMA that overlaps the backward's remaining compute.  Input
+    gradients are structurally zero (see module docstring); this op returns
+    zeros for them, which DCE removes because the callers stop-gradient
+    those inputs.
     """
     return fused_mlp_forward(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
@@ -347,19 +413,25 @@ def fused_mlp_train_apply(
 
 
 def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype,
-         samples_per_ray):
+         samples_per_ray, stash):
     out = fused_mlp_forward(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
+        stash=stash,
     )
-    return out, (params, ipe, dirs)
+    if stash:
+        out, acts = out
+        return out, (params, ipe, dirs, acts)
+    return out, (params, ipe, dirs, None)
 
 
-def _bwd(depth_head, interpret, compute_dtype, samples_per_ray, res, g):
-    params, ipe, dirs = res
+def _bwd(depth_head, interpret, compute_dtype, samples_per_ray, stash,
+         res, g):
+    params, ipe, dirs, acts = res
     grads = fused_mlp_backward(
         params, ipe, dirs, g, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
+        acts=acts,
     )
     return grads, jnp.zeros_like(ipe), jnp.zeros_like(dirs)
 

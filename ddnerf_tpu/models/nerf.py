@@ -98,6 +98,15 @@ _FORCE_PALLAS_POLICY = None
 # is scarcer relative to VPU (larger S, narrower chips).
 _KERNEL_PER_RAY_DIRS = False
 
+# Have the fused forward kernel stash its activations to HBM (bf16) so the
+# fused backward skips its in-VMEM forward recompute (10 matmuls fewer per
+# block, traded for stash DMA that overlaps the remaining compute).
+# Measured +14% on v5e (445.5k vs 390.4k rays/s, interleaved A/B); the
+# stash costs ~277 MB of HBM per network at the flagship batch.  Gradients
+# are bit-comparable to recompute mode (the recompute was bit-identical to
+# the forward by construction; tested exactly equal in f32).
+_KERNEL_STASH_ACTS = True
+
 
 def _dtype_of(cfg: Config):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
@@ -216,6 +225,7 @@ class NerfPipeline:
                 self._pallas_interpret,
                 cdt,
                 spr,
+                _KERNEL_STASH_ACTS,
             )
             return flat.reshape(n, s, out_dim)
         if self._use_pallas(mode):

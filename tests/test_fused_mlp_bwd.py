@@ -168,3 +168,69 @@ def test_per_ray_dirs_backward_matches_autodiff():
         lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4),
         got, want,
     )
+
+
+def test_stash_forward_matches_plain():
+    """stash=True must not change the forward output, and the stashed slabs
+    must equal what the backward's recompute would produce."""
+    from ddnerf_tpu.kernels.fused_mlp import fused_mlp_forward
+
+    _, params, ipe, dirs = _setup(True, n=40)
+    plain = fused_mlp_forward(
+        params, ipe, dirs, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    out, acts = fused_mlp_forward(
+        params, ipe, dirs, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True, stash=True,
+    )
+    np.testing.assert_allclose(out, plain, rtol=1e-6, atol=1e-6)
+    assert acts.shape[0] == 8 and acts.shape[2] == 256
+
+
+def test_stash_backward_matches_recompute_exactly():
+    """Stash-mode grads must be bit-comparable to recompute-mode grads:
+    the recompute is the same bf16 ops on the same inputs."""
+    from ddnerf_tpu.kernels.fused_mlp import fused_mlp_forward
+
+    _, params, ipe, dirs = _setup(True, n=48)
+    rng = np.random.default_rng(6)
+    g = jnp.asarray(rng.standard_normal((48, 6)).astype(np.float32))
+    _, acts = fused_mlp_forward(
+        params, ipe, dirs, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True, stash=True,
+    )
+    a = fused_mlp_backward(
+        params, ipe, dirs, g, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True, acts=acts,
+    )
+    b = fused_mlp_backward(
+        params, ipe, dirs, g, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-6),
+        a, b,
+    )
+
+
+def test_stash_train_apply_gradients():
+    """End-to-end custom_vjp with stash=True vs the f32 reference."""
+    _, params, ipe, dirs = _setup(True, n=24)
+
+    def loss_stash(p):
+        out = fused_mlp_train_apply(p, ipe, dirs, True, True,
+                                    jnp.float32, 0, True)
+        return jnp.sum(out**2)
+
+    def loss_ref(p):
+        from ddnerf_tpu.kernels.fused_mlp import _reference_apply
+
+        return jnp.sum(_reference_apply(p, ipe, dirs, True) ** 2)
+
+    g_stash = jax.grad(loss_stash)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4),
+        g_stash, g_ref,
+    )
