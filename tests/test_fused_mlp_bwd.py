@@ -234,3 +234,29 @@ def test_stash_train_apply_gradients():
         lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4),
         g_stash, g_ref,
     )
+
+
+def test_stash_composes_with_per_ray_dirs():
+    """stash=True and samples_per_ray together: grads still match
+    autodiff of the jnp twin (both features touch the same kernels)."""
+    from ddnerf_tpu.kernels.fused_mlp import fused_mlp_forward
+
+    _, params, ipe, _ = _setup(True, n=33 * 4)
+    rng = np.random.default_rng(7)
+    dirs_ray = jnp.asarray(rng.standard_normal((4, 27)).astype(np.float32))
+    dirs_full = jnp.repeat(dirs_ray, 33, axis=0)
+    g = jnp.asarray(rng.standard_normal((33 * 4, 6)).astype(np.float32))
+    _, acts = fused_mlp_forward(
+        params, ipe, dirs_ray, depth_head=True, compute_dtype=jnp.float32,
+        interpret=True, stash=True, samples_per_ray=33, rays_per_block=2,
+    )
+    got = fused_mlp_backward(
+        params, ipe, dirs_ray, g, depth_head=True,
+        compute_dtype=jnp.float32, interpret=True, acts=acts,
+        samples_per_ray=33, rays_per_block=2,
+    )
+    want = _ref_grads(params, ipe, dirs_full, True, g)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4),
+        got, want,
+    )
