@@ -44,6 +44,16 @@ NUM_TRUNK = 8
 SKIP_LAYER = 5
 LANE = 128
 
+# Feed the kernels raw-width inputs ([M, 96] ipe, [M, 27] dirs, [M, 4|6]
+# cotangent) instead of explicitly padding their lane dim to 128.  TPU HBM
+# buffers are tile-padded to 128 lanes regardless, so the explicit pads are
+# pure copies (~0.3 ms/step in the trace digest: copy.978/1021/1024,
+# reshape.4763); Mosaic pads non-128 lane blocks internally.  Module global
+# so benchmarks/ab.py can A/B it.  Default OFF until measured on chip
+# (interpret-mode parity is fully tested; the compiled Mosaic lowering of
+# non-128 lane blocks is not yet benchmarked).
+RAW_LANE_INPUTS = False
+
 
 def _mm(a, w):
     return jax.lax.dot_general(
@@ -156,8 +166,12 @@ def _kernel(
     out_ref[:] = out
 
 
-def _pack_params(params, depth_head, compute_dtype):
-    """Flax param tree -> the kernel's flat weight list (padded/packed)."""
+def _pack_params(params, depth_head, compute_dtype, pad_inputs=True):
+    """Flax param tree -> the kernel's flat weight list (padded/packed).
+
+    ``pad_inputs=False`` (RAW_LANE_INPUTS) keeps the input-facing weights at
+    their raw contraction width (96 IPE, 27 dirs) to match unpadded inputs.
+    """
     c = compute_dtype
     hidden = params["fc_feat"]["kernel"].shape[1]
 
@@ -168,10 +182,12 @@ def _pack_params(params, depth_head, compute_dtype):
         bs.append(params[f"trunk_{i}"]["bias"])
         if i == SKIP_LAYER:
             w5i, k = k[:96], k[96:]
-        if i == 0:
+        if i == 0 and pad_inputs:
             k = jnp.pad(k, ((0, LANE - k.shape[0]), (0, 0)))
         ws.append(k.astype(c))
-    w5i = jnp.pad(w5i, ((0, LANE - 96), (0, 0))).astype(c)
+    if pad_inputs:
+        w5i = jnp.pad(w5i, ((0, LANE - 96), (0, 0)))
+    w5i = w5i.astype(c)
     b_trunk = jnp.stack(bs).astype(jnp.float32)  # [NUM_TRUNK, hidden]
 
     wf = params["fc_feat"]["kernel"].astype(c)
@@ -185,7 +201,10 @@ def _pack_params(params, depth_head, compute_dtype):
     wd = params["dir_0"]["kernel"]
     dir_in = wd.shape[0] - hidden  # 27
     wd_feat = wd[:hidden].astype(c)
-    wd_dirs = jnp.pad(wd[hidden:], ((0, LANE - dir_in), (0, 0))).astype(c)
+    wd_dirs = wd[hidden:]
+    if pad_inputs:
+        wd_dirs = jnp.pad(wd_dirs, ((0, LANE - dir_in), (0, 0)))
+    wd_dirs = wd_dirs.astype(c)
     bd = params["dir_0"]["bias"].astype(jnp.float32).reshape(1, -1)
 
     heads_w = [params["fc_rgb"]["kernel"]]
@@ -263,14 +282,19 @@ def fused_mlp_forward(
     )
     dirs_rows = n_pad // samples_per_ray if samples_per_ray else n_pad
 
-    ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad, cols=LANE)
-    dirs_p = _pad_to(dirs.astype(compute_dtype), rows=dirs_rows, cols=LANE)
-    packed = _pack_params(params, depth_head, compute_dtype)
+    raw = RAW_LANE_INPUTS
+    in_w = (ipe.shape[1], dirs.shape[1]) if raw else (LANE, LANE)
+    ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad,
+                    cols=None if raw else LANE)
+    dirs_p = _pad_to(dirs.astype(compute_dtype), rows=dirs_rows,
+                     cols=None if raw else LANE)
+    packed = _pack_params(params, depth_head, compute_dtype,
+                          pad_inputs=not raw)
 
     grid = (n_pad // block_rows,)
     in_specs = [
-        pl.BlockSpec((block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((dirs_block, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, in_w[0]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dirs_block, in_w[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in packed]
 
     out_specs = pl.BlockSpec(

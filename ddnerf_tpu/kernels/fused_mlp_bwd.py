@@ -181,11 +181,15 @@ def _bwd_kernel(samples, use_stash, ipe_ref, dirs_ref, g_ref, *refs):
             else:
                 ref[idx] = ref[idx] + val
 
-    g = g_ref[:]  # [B, LANE] cdt; lanes: rgb(0:3), alpha(3), heads 3.. (4:)
+    g = g_ref[:]  # [B, gw] cdt; lanes: rgb(0:3), alpha(3), heads 3.. (4:)
+    # (gw = 4|6 raw, or LANE zero-padded — see fused_mlp.RAW_LANE_INPUTS.)
     # Forward packed lanes as [heads 0:3 | alpha | heads 3:LANE-1]; invert.
-    g_heads = jnp.concatenate(
-        [g[:, 0:3], g[:, 4:LANE], jnp.zeros((nb, 1), cdt)], axis=1
-    )
+    gw = g.shape[-1]
+    parts = [g[:, 0:3]]
+    if gw > 4:
+        parts.append(g[:, 4:gw])
+    parts.append(jnp.zeros((nb, LANE - 3 - max(gw - 4, 0)), cdt))
+    g_heads = jnp.concatenate(parts, axis=1)
     accum(d_w_heads, _mm_t(h, g_heads))
     accum(
         d_b_heads,
@@ -277,36 +281,47 @@ def fused_mlp_backward(
     )
     dirs_rows = n_pad // samples_per_ray if samples_per_ray else n_pad
 
-    ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad, cols=LANE)
-    dirs_p = _pad_to(dirs.astype(compute_dtype), rows=dirs_rows, cols=LANE)
+    from ddnerf_tpu.kernels.fused_mlp import RAW_LANE_INPUTS
+
+    raw = RAW_LANE_INPUTS
+    cols = None if raw else LANE
+    ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad, cols=cols)
+    dirs_p = _pad_to(dirs.astype(compute_dtype), rows=dirs_rows, cols=cols)
     # The cotangent rides HBM in the compute dtype: the kernel quantizes it
     # to bf16 for every matmul anyway (the same quantization XLA applies to
     # the wgrad operands), and the padded [M, 128] f32 form cost ~0.2 ms of
     # pure pad traffic per step in the trace digest.
-    g_p = _pad_to(g.astype(compute_dtype), rows=n_pad, cols=LANE)
-    packed = _pack_params(params, depth_head, compute_dtype)
+    g_p = _pad_to(g.astype(compute_dtype), rows=n_pad, cols=cols)
+    packed = _pack_params(params, depth_head, compute_dtype,
+                          pad_inputs=not raw)
 
     grid = (n_pad // block_rows,)
-    row_spec = lambda: pl.BlockSpec(  # noqa: E731
-        (block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+
+    def row_spec(width):
+        return pl.BlockSpec(
+            (block_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
     dirs_spec = pl.BlockSpec(
-        (dirs_block, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (dirs_block, dirs_p.shape[1]), lambda i: (i, 0),
+        memory_space=pltpu.VMEM,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
     f32 = jnp.float32
+    ipe_w = ipe_p.shape[1]  # 96 raw, LANE padded
+    dirs_w = dirs_p.shape[1]  # 27 raw, LANE padded
     out_shapes = (
-        jax.ShapeDtypeStruct((LANE, hidden), f32),                 # d_w0
+        jax.ShapeDtypeStruct((ipe_w, hidden), f32),                # d_w0
         jax.ShapeDtypeStruct((NUM_TRUNK - 1, hidden, hidden), f32),  # d_w_mid
-        jax.ShapeDtypeStruct((LANE, hidden), f32),                 # d_w5i
+        jax.ShapeDtypeStruct((ipe_w, hidden), f32),                # d_w5i
         jax.ShapeDtypeStruct((NUM_TRUNK, hidden), f32),            # d_b_trunk
         jax.ShapeDtypeStruct((hidden, hidden), f32),               # d_wf
         jax.ShapeDtypeStruct((1, hidden), f32),                    # d_bf
         jax.ShapeDtypeStruct((hidden, LANE), f32),                 # d_wa
         jax.ShapeDtypeStruct((1, LANE), f32),                      # d_ba
         jax.ShapeDtypeStruct((hidden, dir_hidden), f32),           # d_wd_feat
-        jax.ShapeDtypeStruct((LANE, dir_hidden), f32),             # d_wd_dirs
+        jax.ShapeDtypeStruct((dirs_w, dir_hidden), f32),           # d_wd_dirs
         jax.ShapeDtypeStruct((1, dir_hidden), f32),                # d_bd
         jax.ShapeDtypeStruct((dir_hidden, LANE), f32),             # d_w_heads
         jax.ShapeDtypeStruct((1, LANE), f32),                      # d_b_heads
@@ -323,7 +338,8 @@ def fused_mlp_backward(
 
     use_stash = acts is not None
     inputs = [ipe_p, dirs_p, g_p, *packed]
-    in_specs = [row_spec(), dirs_spec, row_spec()] + [full() for _ in packed]
+    in_specs = [row_spec(ipe_p.shape[1]), dirs_spec,
+                row_spec(g_p.shape[1])] + [full() for _ in packed]
     scratch_shapes = [
         pltpu.VMEM((NUM_TRUNK + 1, block_rows, hidden), compute_dtype)
     ]
