@@ -32,9 +32,36 @@ def find_latest_trace(logdir: str) -> Optional[str]:
     return max(paths, key=os.path.getmtime) if paths else None
 
 
+def _exclusive_durations(ops: List[dict]) -> None:
+    """Annotate each event with ``_excl``: its duration minus any nested
+    child events on the same track.
+
+    Control-flow wrapper ops (``while``, ``conditional``) appear on the
+    XLA-Ops track as events that SPAN their body's ops — counting their raw
+    duration double-counts everything inside (a ``while.N`` row once read as
+    47% of the step).  Chrome-trace 'X' events nest by containment: sort by
+    (ts, -dur) and subtract each child from its immediate parent.
+    """
+    by_track: Dict[tuple, List[dict]] = collections.defaultdict(list)
+    for e in ops:
+        by_track[(e["pid"], e["tid"])].append(e)
+    for track in by_track.values():
+        track.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack: List[dict] = []
+        for e in track:
+            e["_excl"] = e["dur"]
+            while stack and e["ts"] >= stack[-1]["ts"] + stack[-1]["dur"]:
+                stack.pop()
+            if stack:
+                stack[-1]["_excl"] -= e["dur"]
+            stack.append(e)
+
+
 def load_device_ops(trace_path: str) -> List[dict]:
     """All complete ('X') events on the device's XLA-Ops track, with their
-    args (hlo_category / source / tf_op / flops / bytes)."""
+    args (hlo_category / source / tf_op / flops / bytes).  Each event is
+    annotated with ``_excl`` (self time: duration minus nested children) —
+    the aggregations use it so control-flow wrappers don't double-count."""
     with gzip.open(trace_path, "rt") as f:
         data = json.load(f)
     events = data["traceEvents"]
@@ -53,7 +80,7 @@ def load_device_ops(trace_path: str) -> List[dict]:
         and e.get("name") == "thread_name"
         and e["args"]["name"] == "XLA Ops"
     }
-    return [
+    ops = [
         e
         for e in events
         if e.get("ph") == "X"
@@ -61,6 +88,8 @@ def load_device_ops(trace_path: str) -> List[dict]:
         and (e["pid"], e["tid"]) in ops_tids
         and e.get("args")
     ]
+    _exclusive_durations(ops)
+    return ops
 
 
 def summarize(ops: List[dict], steps: int = 1) -> Dict[str, object]:
@@ -73,7 +102,7 @@ def summarize(ops: List[dict], steps: int = 1) -> Dict[str, object]:
     flops = 0
     for e in ops:
         a = e["args"]
-        dur = e["dur"]
+        dur = e.get("_excl", e["dur"])
         by_cat[a.get("hlo_category", "?")] += dur
         by_src[a.get("source", "(unattributed)")] += dur
         by_op[a.get("deduplicated_name") or e["name"]] += dur
@@ -134,7 +163,7 @@ def roofline(ops: List[dict], steps: int = 1, top: int = 20,
         a = e["args"]
         key = a.get("deduplicated_name") or e["name"]
         d = agg.setdefault(key, [0.0, 0.0, 0.0, 0])
-        d[0] += e["dur"]                                  # us
+        d[0] += e.get("_excl", e["dur"])                  # us (self time)
         d[1] += float(a.get("model_flops", 0) or 0)
         d[2] += float(a.get("bytes_accessed", 0) or 0)
         d[3] += 1

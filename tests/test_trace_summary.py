@@ -114,3 +114,30 @@ def test_roofline_synthetic_trace(tmp_path):
     assert float(cols[0]) == pytest.approx(1.0)    # ms/step
     assert float(cols[1]) == pytest.approx(100.0)  # TF/s
     assert float(cols[2]) == pytest.approx(200.0)  # GB/s
+
+
+def test_exclusive_durations_subtract_nested_children():
+    """A while-wrapper spanning its body must only report self time."""
+    from ddnerf_tpu.utils.trace_summary import _exclusive_durations
+
+    ops = [
+        {"pid": 1, "tid": 2, "ts": 0, "dur": 100,
+         "args": {"hlo_category": "while"}, "name": "while.1", "ph": "X"},
+        {"pid": 1, "tid": 2, "ts": 10, "dur": 30,
+         "args": {"hlo_category": "fusion"}, "name": "fusion.1", "ph": "X"},
+        {"pid": 1, "tid": 2, "ts": 50, "dur": 40,
+         "args": {"hlo_category": "custom-call"}, "name": "cc.1", "ph": "X"},
+        # sibling after the while on the same track
+        {"pid": 1, "tid": 2, "ts": 120, "dur": 10,
+         "args": {"hlo_category": "copy"}, "name": "copy.1", "ph": "X"},
+        # grandchild: nested inside fusion.1, subtracts from fusion only
+        {"pid": 1, "tid": 2, "ts": 12, "dur": 5,
+         "args": {"hlo_category": "fusion"}, "name": "sub.1", "ph": "X"},
+    ]
+    _exclusive_durations(ops)
+    excl = {e["name"]: e["_excl"] for e in ops}
+    assert excl["while.1"] == 100 - 30 - 40
+    assert excl["fusion.1"] == 30 - 5
+    assert excl["cc.1"] == 40
+    assert excl["copy.1"] == 10
+    assert excl["sub.1"] == 5
