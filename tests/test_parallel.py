@@ -422,3 +422,28 @@ def test_sharded_step_with_fused_backward_kernel():
         np.testing.assert_allclose(
             np.asarray(l1), np.asarray(l8), rtol=2e-3, atol=2e-5
         )
+
+
+@requires_multidevice
+def test_store_sharded_step_with_fused_kernel_scan():
+    """The full production mesh path with the fused train kernels:
+    pixel-axis-sharded store -> per-shard sampling -> stacked scan blocks,
+    with pallas_mlp="train" (interpret kernels on the CPU mesh)."""
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.parallel.distributed import build_sharded_store
+
+    cfg = tiny_cfg().replace_at("parallel.pallas_mlp", "train")
+    train_ds, _, cfg = get_datasets(cfg)
+    mesh = pmesh.make_mesh(8)
+    store = build_sharded_store(mesh, train_ds.device_store())
+
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    step = pmesh.make_sharded_store_train_step(
+        cfg.replace_at("parallel.donate_state", False), pipe, mesh,
+        stack_steps=2,
+    )
+    state, stacked = step(state, store)
+    assert stacked["loss"].shape == (2,)
+    assert np.isfinite(np.asarray(stacked["loss"])).all()
+    assert int(state.step) == 2
