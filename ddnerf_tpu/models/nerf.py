@@ -107,6 +107,13 @@ _KERNEL_PER_RAY_DIRS = False
 # the forward by construction; tested exactly equal in f32).
 _KERNEL_STASH_ACTS = True
 
+# Which kernel backs the eval/render fused path ("render"/"all" policies):
+# "ipe" = fused_ipe_mlp (IPE in-kernel, the round-1 design); "mlp" =
+# fused_mlp with XLA IPE + per-ray dirs (the train kernel's integration
+# recipe).  XLA's end-to-end fusion still won render as of round 2
+# (744k vs 540k rays/s) — this switch exists to re-measure cheaply.
+_RENDER_KERNEL_VARIANT = "ipe"
+
 
 def _dtype_of(cfg: Config):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
@@ -229,13 +236,36 @@ class NerfPipeline:
             )
             return flat.reshape(n, s, out_dim)
         if self._use_pallas(mode):
+            depth_head = isinstance(module, DepthMipMLP)
+            out_dim = 6 if depth_head else 4
+            n, s = means.shape[0], means.shape[1]
+            if _RENDER_KERNEL_VARIANT == "mlp":
+                # fused_mlp with the IPE in XLA (flatten-first) and PER-RAY
+                # dirs — the train kernel's integration recipe applied to
+                # the forward-only path.
+                from ddnerf_tpu.kernels.fused_mlp import fused_mlp_forward
+
+                ipe = mmath.integrated_pos_enc(
+                    (means.reshape(n * s, 3), covs.reshape(n * s, 3))
+                )
+                dirs_enc = mmath.positional_encoding(
+                    rays.viewdirs, num_freqs=4
+                )
+                cdt = _dtype_of(self.cfg)
+                flat = fused_mlp_forward(
+                    params,
+                    ipe.astype(cdt),
+                    dirs_enc.astype(cdt),
+                    depth_head=depth_head,
+                    compute_dtype=cdt,
+                    interpret=self._pallas_interpret,
+                    samples_per_ray=s,
+                )
+                return flat.reshape(n, s, out_dim)
             # v2 kernel: IPE + viewdir PE + full MLP in VMEM; raw means/covs
             # in, radiance out (kernels/fused_ipe_mlp.py).
             from ddnerf_tpu.kernels.fused_ipe_mlp import fused_ipe_mlp_apply
 
-            depth_head = isinstance(module, DepthMipMLP)
-            out_dim = 6 if depth_head else 4
-            n, s = means.shape[0], means.shape[1]
             dirs3 = jnp.broadcast_to(rays.viewdirs[:, None, :], (n, s, 3))
             flat = fused_ipe_mlp_apply(
                 params,
