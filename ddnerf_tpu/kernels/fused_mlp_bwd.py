@@ -7,14 +7,16 @@ wgrad and the dgrad (~35 MB bf16 per layer per network at the flagship
 batch).  This kernel runs the ENTIRE backward of one network per row-block
 with every intermediate in VMEM:
 
-* the forward is *recomputed* per block (10 small matmuls whose inputs are
-  already resident — cheaper than stashing 10 x [M, 256] activation slabs to
-  HBM and reading them back, and it keeps the forward kernel pure compute);
+* the forward activations come either from the forward kernel's bf16 HBM
+  stash (``acts``, the production default — the stash DMA hides under the
+  backward's 20 matmuls; measured +14% over recompute on v5e) or from an
+  in-block forward recompute (10 extra matmuls, zero extra HBM — the
+  fallback when no stash was saved);
 * the dgrad chain g_h -> g_feat -> g_7 ... g_0 never leaves VMEM;
 * per-layer weight and bias gradients are accumulated across grid blocks
   into f32 VMEM accumulators (constant-index outputs, sequential TPU grid);
 * NO input gradients are produced: the pipeline stop-gradients ``t_vals`` at
-  the sampler boundary (models/nerf.py:258,343 — mirroring the reference's
+  the sampler boundary (models/nerf.py — mirroring the reference's
   detached resampled sections, samplers.py:121,215) and view directions are
   data, so d(ipe)/d(dirs) are structurally zero in the train graph.
 
