@@ -18,9 +18,103 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+METRIC_NAME = (
+    "DDNeRF train rays/sec/chip (2048 rays x 32+32+1 samples, "
+    "fwd+dp_loss+bwd+adam)"
+)
+
+# Error signatures of a busy/relayed backend worth waiting out.  The chip
+# relay serializes client handshakes for 70-700 s (PERF.md operational
+# notes) and surfaces the wait as UNAVAILABLE — BENCH_r03 died on exactly
+# this with a single attempt.
+_RETRYABLE_MARKERS = (
+    "UNAVAILABLE",
+    "Unable to initialize backend",
+    "DEADLINE_EXCEEDED",
+    "Socket closed",
+    "failed to connect",
+    "Connection reset",
+)
+
+
+def _error_json(msg: str, detail: str = "") -> str:
+    """The partial record emitted when no measurement could be taken —
+    machine-readable failure instead of a bare traceback."""
+    return json.dumps(
+        {
+            "metric": METRIC_NAME,
+            "value": None,
+            "unit": "rays/sec",
+            "vs_baseline": None,
+            "error": msg,
+            "detail": detail[-400:] if detail else None,
+        }
+    )
+
+
+def supervise() -> int:
+    """Run the bench in a fresh subprocess, retrying with backoff while the
+    backend reports unavailable.
+
+    Cross-process retry is load-bearing: a failed jax backend init is cached
+    for the life of the process (xla_bridge caches the error), so an
+    in-process retry loop would re-raise the stale failure forever.  Each
+    attempt is a clean process; the last stdout line of a successful child
+    (the JSON record) is forwarded verbatim.
+    """
+    budget = float(os.environ.get("BENCH_BACKEND_TIMEOUT", "600"))
+    deadline = time.time() + budget
+    delay = 15.0
+    attempt = 0
+    tail = ""
+    while True:
+        attempt += 1
+        try:
+            # Grace beyond the retry deadline: a handshake already in
+            # progress (up to ~700 s) should be allowed to finish.
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                capture_output=True,
+                text=True,
+                timeout=max(deadline - time.time(), 0) + 1200,
+            )
+        except subprocess.TimeoutExpired as e:
+            tail = (e.stderr or "") if isinstance(e.stderr, str) else ""
+            print(_error_json(f"bench attempt {attempt} timed out", tail))
+            return 1
+        if r.stderr:
+            sys.stderr.write(r.stderr[-4000:])
+        lines = [ln for ln in (r.stdout or "").strip().splitlines() if ln.strip()]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        tail = (r.stderr or r.stdout or "")[-2000:]
+        retryable = any(m in tail for m in _RETRYABLE_MARKERS)
+        if not retryable:
+            print(_error_json(f"bench failed (attempt {attempt})", tail))
+            return 1
+        if time.time() + delay > deadline:
+            print(
+                _error_json(
+                    f"backend unavailable after {attempt} attempts over "
+                    f"{budget:.0f}s",
+                    tail,
+                )
+            )
+            return 1
+        sys.stderr.write(
+            f"[bench] attempt {attempt}: backend unavailable; "
+            f"retrying in {delay:.0f}s\n"
+        )
+        sys.stderr.flush()
+        time.sleep(delay)
+        delay = min(delay * 1.7, 90.0)
 
 
 def main():
@@ -186,8 +280,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "DDNeRF train rays/sec/chip (2048 rays x 32+32+1 samples, "
-                "fwd+dp_loss+bwd+adam)",
+                "metric": METRIC_NAME,
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/sec",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
@@ -199,4 +292,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        main()  # worker: one attempt, raw traceback on failure
+    else:
+        sys.exit(supervise())

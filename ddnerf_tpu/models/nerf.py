@@ -146,7 +146,18 @@ class NerfPipeline:
         )
         self._filter_empty = ds.type.lower() == "blender"
         # The Pallas kernel runs in interpreter mode on CPU (tests/CI).
-        self._pallas_interpret = jax.default_backend() == "cpu"
+        # Resolved LAZILY (see property below): probing the default backend
+        # initializes it, and doing that in the constructor turned "chip
+        # temporarily unavailable" into a crash before a single step ran
+        # (BENCH_r03's failure mode — the relayed backend serializes client
+        # handshakes for 70-700 s, PERF.md operational notes).
+        self._pallas_interpret_cached: bool | None = None
+
+    @property
+    def _pallas_interpret(self) -> bool:
+        if self._pallas_interpret_cached is None:
+            self._pallas_interpret_cached = jax.default_backend() == "cpu"
+        return self._pallas_interpret_cached
 
     # ------------------------------------------------------------------ init
 
