@@ -118,6 +118,9 @@ def supervise() -> int:
 
 
 def main():
+    from ddnerf_tpu.utils.platform import honor_env_platforms
+
+    honor_env_platforms()
     import jax
     import jax.numpy as jnp
 

@@ -1,15 +1,26 @@
-"""Interleaved A/B of trace-time switches on the flagship train step.
+"""Interleaved A/B of numerics/perf switches on the flagship train step.
 
-Each variant is a comma-separated list of MODULE.FLAG=VALUE assignments
-applied before tracing (empty string = current defaults).  All variants are
-traced into separate jitted scan-step programs in ONE process, then timed in
-alternating rounds so chip-level variance (clock, relay load) hits both
-equally.
+Each variant is a comma-separated list of KEY=VALUE assignments applied
+before tracing (empty string = current defaults).  Two kinds of key:
+
+* a CONFIG path (``experiment.`` / ``train_params.`` / ``dataset.`` /
+  ``optimizer.`` / ``nerf.`` / ``parallel.`` prefix) — applied via
+  ``Config.merge_from_list`` per variant, e.g. ``parallel.remat_ipe=False``.
+  This is the production surface: the same key in a YAML/CLI override
+  reproduces the variant, and the config snapshot records it;
+* a MODULE flag (full dotted module path) — setattr'd for the variant's
+  trace, e.g. ``ddnerf_tpu.models.mlp.SKIP_FOLD_TRUNK0=True``.  These are
+  the trace-time overrides (None = follow config) kept for switches with
+  no config field.
+
+All variants are traced into separate jitted scan-step programs in ONE
+process, then timed in alternating rounds so chip-level variance (clock,
+relay load) hits both equally.
 
 Run:
   python benchmarks/ab.py \
     --variant base "" \
-    --variant fold "ddnerf_tpu.models.mlp.SKIP_FOLD_TRUNK0=True" \
+    --variant noremat "parallel.remat_ipe=False" \
     [--rounds 6] [--iters 12] [--scan 8]
 """
 
@@ -52,19 +63,32 @@ def flagship_cfg():
     ).resolved()
 
 
-def apply_flags(spec: str):
-    """Apply 'pkg.mod.FLAG=value' assignments; returns an undo list."""
+_CFG_SECTIONS = ("experiment.", "train_params.", "dataset.", "optimizer.",
+                 "nerf.", "parallel.")
+
+
+def apply_flags(spec: str, cfg):
+    """Apply a variant spec; returns (variant cfg, module-flag undo list)."""
     undo = []
+    cfg_opts = []
     for item in filter(None, (s.strip() for s in spec.split(","))):
         target, _, value = item.partition("=")
+        if target.startswith(_CFG_SECTIONS):
+            cfg_opts += [target, value]
+            continue
         modname, _, flag = target.rpartition(".")
         mod = importlib.import_module(modname)
         undo.append((mod, flag, getattr(mod, flag)))
         setattr(mod, flag, eval(value))  # flags are bools/ints/floats
-    return undo
+    if cfg_opts:
+        cfg = cfg.merge_from_list(cfg_opts)
+    return cfg, undo
 
 
 def main():
+    from ddnerf_tpu.utils.platform import honor_env_platforms
+
+    honor_env_platforms()
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", nargs=2, action="append", metavar=("NAME", "FLAGS"),
                     required=True)
@@ -91,10 +115,10 @@ def main():
 
     variants = {}
     for name, spec in args.variant:
-        undo = apply_flags(spec)
-        pipe = NerfPipeline(cfg)
-        state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
-        fn = jax.jit(make_scan_train_step(cfg, pipe, args.scan))
+        vcfg, undo = apply_flags(spec, cfg)
+        pipe = NerfPipeline(vcfg)
+        state = create_train_state(vcfg, pipe, jax.random.PRNGKey(0))
+        fn = jax.jit(make_scan_train_step(vcfg, pipe, args.scan))
         _, metrics = fn(state, store)  # compile + warm
         print(name, "warm loss", float(metrics["loss"]), flush=True)
         variants[name] = (fn, state)

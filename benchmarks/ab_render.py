@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from ddnerf_tpu.utils.platform import honor_env_platforms
+
+    honor_env_platforms()
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", nargs=2, action="append",
                     metavar=("NAME", "FLAGS"), required=True)

@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from ddnerf_tpu.utils.platform import honor_env_platforms
+
+    honor_env_platforms()
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", nargs="*", default=["800", "1920x1080"])
     ap.add_argument("--chunk", type=int, default=16384)

@@ -16,22 +16,11 @@ Layers (SURVEY.md §7):
 
 __version__ = "0.1.0"
 
-import os as _os
-
-# Honor an explicitly-set JAX_PLATFORMS even when the hosting environment's
-# sitecustomize has already force-selected a platform via
-# ``jax.config.update`` (which outranks the env var jax itself read at
-# import).  Without this, ``JAX_PLATFORMS=cpu python -m ddnerf_tpu.cli...``
-# silently runs on the remote chip.  The ambient default ("axon") is left
-# alone — only a user-divergent value is re-asserted, and only before any
-# backend has initialized.
-_env_platforms = _os.environ.get("JAX_PLATFORMS", "")
-if _env_platforms and _env_platforms != "axon":
-    import jax as _jax
-
-    try:
-        _jax.config.update("jax_platforms", _env_platforms)
-    except Exception:  # backend already up: the caller's choice stands
-        pass
+# NOTE: package import is side-effect-free.  The JAX_PLATFORMS re-assert
+# that used to live here (overriding a sitecustomize's forced platform)
+# moved to ddnerf_tpu.utils.platform.honor_env_platforms(), called by the
+# CLI entry points and benchmark drivers where the problem actually occurs
+# (round-3 advisor finding: an import-time jax.config.update made every
+# consumer import-order sensitive and hardcoded the ambient platform name).
 
 from ddnerf_tpu.config import Config, load_config  # noqa: F401

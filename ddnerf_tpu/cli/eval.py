@@ -7,6 +7,9 @@ from ddnerf_tpu.eval.evaluate import eval_model
 
 
 def main():
+    from ddnerf_tpu.utils.platform import honor_env_platforms
+
+    honor_env_platforms()  # JAX_PLATFORMS beats ambient forced platform
     from ddnerf_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -8,6 +8,9 @@ from ddnerf_tpu.train.loop import train
 
 
 def main():
+    from ddnerf_tpu.utils.platform import honor_env_platforms
+
+    honor_env_platforms()  # JAX_PLATFORMS beats ambient forced platform
     import os
 
     from ddnerf_tpu.utils.cache import enable_compilation_cache

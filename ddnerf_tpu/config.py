@@ -195,6 +195,37 @@ class ParallelConfig:
     # transfer (the reference's only mode, dataset.py:50-59).
     max_store_gb: float = 6.0
 
+    # ---- numerics/perf switches (recorded by the config snapshot so a
+    # run's actual numerics are reproducible from logdir/config.yml).
+    # Each has a matching trace-time module override used by the A/B
+    # harness (None = follow config); the values here are the measured
+    # winners from PERF.md's interleaved A/Bs.
+    #
+    # Recompute the IPE in the backward pass instead of saving the
+    # [N,S,96] residual (jax.checkpoint around integrated_pos_enc only).
+    remat_ipe: bool = True
+    # Fused train kernel: forward stashes bf16 activations to HBM so the
+    # backward skips its in-VMEM recompute (+14% on v5e).
+    kernel_stash_acts: bool = True
+    # Fused train kernel: per-ray [N, 27] dirs expanded in-kernel by an
+    # exact one-hot contraction (measured negative on v5e; the trade can
+    # flip where HBM is scarcer relative to VPU).
+    kernel_per_ray_dirs: bool = False
+    # Row-block size of the fused backward kernel; 0 = kernel default
+    # (fused_mlp_bwd.BWD_BLOCK_ROWS).
+    bwd_block_rows: int = 0
+    # Which kernel backs the "render"/"all" fused policies: "ipe" =
+    # fused_ipe_mlp (IPE in-kernel), "mlp" = fused_mlp with XLA IPE.
+    render_kernel_variant: str = "ipe"
+    # relu saves its OUTPUT (bf16) as the VJP residual instead of the
+    # bit-packed predicate mask (models/mlp.py rationale + measurements).
+    relu_save_output: bool = True
+    relu_bf16_residual: bool = True
+    # Skip layer as two partial matmuls instead of a [.., 352] concat.
+    split_skip_layer: bool = True
+    # IPE sin/cos via the double-angle recurrence (core/math.py rationale).
+    ipe_double_angle: bool = True
+
 
 @dataclass(frozen=True)
 class Config:

@@ -133,7 +133,12 @@ def expected_sin(x, x_var):
 # On-chip interleaved A/B (benchmarks/ab.py, flagship step): direct
 # median 355.3k, double-angle 359.7k rays/s (+1.2%, consistent across all
 # rounds); warm losses agree to 1e-7.
-IPE_DOUBLE_ANGLE = True
+#
+# Production reads come from ``cfg.parallel.ipe_double_angle`` (threaded by
+# the pipeline through ``double_angle=``, recorded in the config snapshot);
+# this module global is a trace-time OVERRIDE for the A/B harness — a bool
+# here wins over the caller's argument.
+IPE_DOUBLE_ANGLE = None
 
 
 def _ipe_double_angle(x, x_cov_diag, min_deg, max_deg):
@@ -155,18 +160,22 @@ def _ipe_double_angle(x, x_cov_diag, min_deg, max_deg):
     return jnp.concatenate([sin_half, cos_half], axis=-1)
 
 
-def integrated_pos_enc(means_covs, min_deg=0, max_deg=16, diag=True):
+def integrated_pos_enc(means_covs, min_deg=0, max_deg=16, diag=True,
+                       double_angle=True):
     """IPE over degrees ``[min_deg, max_deg)`` (math_utils.py:112-144).
 
     Input: ``(means [..., 3], covs [..., 3])`` diagonal Gaussians.
     Output: [..., 2*3*(max_deg-min_deg)] — sin/cos features attenuated by the
     per-frequency variance.  Pure elementwise work: XLA fuses the whole thing
     into the consuming matmul's prologue on TPU.
+
+    ``double_angle`` selects the recurrence path (see IPE_DOUBLE_ANGLE above;
+    the module global, when not None, overrides this argument).
     """
     if not diag:
         raise NotImplementedError("full-covariance IPE not used by any config")
     x, x_cov_diag = means_covs
-    if IPE_DOUBLE_ANGLE:
+    if IPE_DOUBLE_ANGLE if IPE_DOUBLE_ANGLE is not None else double_angle:
         return _ipe_double_angle(x, x_cov_diag, min_deg, max_deg)
     scales = jnp.asarray([2.0**i for i in range(min_deg, max_deg)], dtype=x.dtype)
     shape = x.shape[:-1] + (-1,)

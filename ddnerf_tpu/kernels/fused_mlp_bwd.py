@@ -406,11 +406,11 @@ def _zeros(ndim, *_idx):
     return (0,) * ndim
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def fused_mlp_train_apply(
     params, ipe, dirs, depth_head: bool, interpret: bool = False,
     compute_dtype=jnp.bfloat16, samples_per_ray: int = 0,
-    stash: bool = False,
+    stash: bool = False, block_rows: int = 0,
 ):
     """Fused Pallas forward + fused Pallas backward.
 
@@ -419,23 +419,26 @@ def fused_mlp_train_apply(
     ``dirs`` is per-ray [N // K, 27].  ``stash=True`` has the forward kernel
     write its activations to HBM (bf16) so the backward kernel reads them
     instead of recomputing the forward — 10 matmuls fewer per block, traded
-    for stash DMA that overlaps the backward's remaining compute.  Input
-    gradients are structurally zero (see module docstring); this op returns
-    zeros for them, which DCE removes because the callers stop-gradient
-    those inputs.
+    for stash DMA that overlaps the backward's remaining compute.
+    ``block_rows``: rows per grid block for BOTH directions (0 = the
+    module default BWD_BLOCK_ROWS) — shared so the stash plan matches.
+    Input gradients are structurally zero (see module docstring); this op
+    returns zeros for them, which DCE removes because the callers
+    stop-gradient those inputs.
     """
     return fused_mlp_forward(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
+        block_rows=block_rows or BWD_BLOCK_ROWS,
     )
 
 
 def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype,
-         samples_per_ray, stash):
+         samples_per_ray, stash, block_rows):
     out = fused_mlp_forward(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
-        stash=stash,
+        stash=stash, block_rows=block_rows or BWD_BLOCK_ROWS,
     )
     if stash:
         out, acts = out
@@ -444,12 +447,12 @@ def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype,
 
 
 def _bwd(depth_head, interpret, compute_dtype, samples_per_ray, stash,
-         res, g):
+         block_rows, res, g):
     params, ipe, dirs, acts = res
     grads = fused_mlp_backward(
         params, ipe, dirs, g, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
-        acts=acts,
+        acts=acts, block_rows=block_rows or None,
     )
     return grads, jnp.zeros_like(ipe), jnp.zeros_like(dirs)
 

@@ -35,42 +35,48 @@ import jax.numpy as jnp
 # (it feeds the next layer's wgrad), so deriving the mask as y > 0 in the
 # backward costs nothing and the pred residuals disappear entirely.
 # Identical gradients except at exactly x == 0 (measure zero).
-@jax.custom_vjp
-def relu_save_output(x):
-    return jnp.maximum(x, 0.0)
+#
+# Two variants: the bf16-residual one saves the bf16 cast of the activation
+# — the exact buffer the next layer's matmul consumes (CSE'd into one), so
+# the relu residual is FREE.  The mask derived from the bf16 cast differs
+# from f32 only for positives below ~1e-40 (bf16 keeps sign/zero).
+def _make_relu_save_output(bf16_residual: bool):
+    @jax.custom_vjp
+    def relu(x):
+        return jnp.maximum(x, 0.0)
+
+    def fwd(x):
+        y = jnp.maximum(x, 0.0)
+        return y, (y.astype(jnp.bfloat16) if bf16_residual else y)
+
+    def bwd(res, g):
+        if RELU_BWD_BARRIER:
+            # Measured SLOWER (285k vs 346k rays/s interleaved): the barrier
+            # forces an extra residual materialization.  Kept for A/B re-runs.
+            res = jax.lax.optimization_barrier(res)
+        return (jnp.where(res > 0, g, jnp.zeros_like(g)).astype(jnp.float32),)
+
+    relu.defvjp(fwd, bwd)
+    return relu
 
 
-def _relu_fwd(x):
-    y = jnp.maximum(x, 0.0)
-    # Residual = the bf16 cast of the activation — the exact buffer the next
-    # layer's matmul consumes (CSE'd into one), so the relu residual is FREE.
-    res = y.astype(jnp.bfloat16) if RELU_BF16_RESIDUAL else y
-    return y, res
+_relu_so_bf16 = _make_relu_save_output(True)
+_relu_so_f32 = _make_relu_save_output(False)
 
-
-def _relu_bwd(res, g):
-    if RELU_BWD_BARRIER:
-        # Measured SLOWER (285k vs 346k rays/s interleaved): the barrier
-        # forces an extra residual materialization.  Kept for A/B re-runs.
-        res = jax.lax.optimization_barrier(res)
-    return (jnp.where(res > 0, g, jnp.zeros_like(g)).astype(jnp.float32),)
-
-
-relu_save_output.defvjp(_relu_fwd, _relu_bwd)
-
-# Trace-time switches (A/B benchmarks flip them; production defaults below).
-# On-chip interleaved A/B (2048-ray flagship step): plain maximum 257k,
-# save-output f32 residual 324k, bf16 residual 346k rays/s; the backward
-# barrier variant regressed to 285k.  The mask derived from the bf16 cast
-# differs from f32 only for positives below ~1e-40 (bf16 keeps sign/zero).
-RELU_SAVE_OUTPUT = True
-RELU_BF16_RESIDUAL = True
-RELU_BWD_BARRIER = False
+# Trace-time OVERRIDES for the A/B harness (None = follow the module fields,
+# which the pipeline sets from cfg.parallel.* — the production values live in
+# the config snapshot).  On-chip interleaved A/B (2048-ray flagship step):
+# plain maximum 257k, save-output f32 residual 324k, bf16 residual 346k
+# rays/s; the backward barrier variant regressed to 285k.
+RELU_SAVE_OUTPUT = None
+RELU_BF16_RESIDUAL = None
+RELU_BWD_BARRIER = False  # documented negative; dev-only global
 
 # Skip layer as two partial matmuls (x@W[96:] + ipe@W[:96]) instead of a
 # concat — algebraically identical (a concat matmul IS the sum of partials),
-# avoids materializing [N,S,352] and its backward relayout.
-SPLIT_SKIP_LAYER = True
+# avoids materializing [N,S,352] and its backward relayout.  None = follow
+# the module field (config).
+SPLIT_SKIP_LAYER = None
 
 # Fold the skip layer's ipe-half into trunk_0's matmul as extra weight
 # columns: ipe @ [W0 | Wskip[:96]] -> [..., 512], first half becomes
@@ -88,8 +94,21 @@ SPLIT_SKIP_LAYER = True
 SKIP_FOLD_TRUNK0 = False
 
 
-def _relu(x):
-    return relu_save_output(x) if RELU_SAVE_OUTPUT else jnp.maximum(x, 0.0)
+def _relu(x, mlp):
+    """The trunk/head activation, variant-selected per module config (with
+    the module globals as trace-time A/B overrides)."""
+    save = RELU_SAVE_OUTPUT if RELU_SAVE_OUTPUT is not None \
+        else mlp.relu_save_output
+    if not save:
+        return jnp.maximum(x, 0.0)
+    bf16 = RELU_BF16_RESIDUAL if RELU_BF16_RESIDUAL is not None \
+        else mlp.relu_bf16_residual
+    return _relu_so_bf16(x) if bf16 else _relu_so_f32(x)
+
+
+def _split_skip(mlp) -> bool:
+    return SPLIT_SKIP_LAYER if SPLIT_SKIP_LAYER is not None \
+        else mlp.split_skip_layer
 
 
 # torch nn.Linear default init: kaiming_uniform(a=sqrt(5)) == uniform
@@ -154,15 +173,12 @@ def _mlp_trunk(mlp, ipe):
     the skip layer runs as ``ipe @ W[:96] + x @ W[96:]`` — the exact
     contraction the concat form computes, without materializing [N,S,352]
     (whose backward needed a slow relayout for the wgrad operand)."""
-    if (
-        SPLIT_SKIP_LAYER
-        and SKIP_FOLD_TRUNK0
-        and 0 < mlp.skip_layer < mlp.num_trunk_layers
-    ):
+    split = _split_skip(mlp)
+    if split and SKIP_FOLD_TRUNK0 and 0 < mlp.skip_layer < mlp.num_trunk_layers:
         return _mlp_trunk_folded(mlp, ipe)
     x = ipe
     for i in range(mlp.num_trunk_layers):
-        if i == mlp.skip_layer and SPLIT_SKIP_LAYER:
+        if i == mlp.skip_layer and split:
             dt = mlp.dtype or x.dtype
             nin = ipe.shape[-1]
             w, b = _TorchParams(mlp.hidden_size, name=f"trunk_{i}")(
@@ -175,12 +191,12 @@ def _mlp_trunk(mlp, ipe):
                           preferred_element_type=jnp.float32)
                 + b
             )
-            x = _relu(y)
+            x = _relu(y, mlp)
             continue
         if i == mlp.skip_layer:
             x = jnp.concatenate([ipe, x], axis=-1)
         x = _TorchDense(mlp.hidden_size, dtype=mlp.dtype, name=f"trunk_{i}")(x)
-        x = _relu(x)
+        x = _relu(x, mlp)
     return x
 
 
@@ -197,7 +213,7 @@ def _mlp_trunk_folded(mlp, ipe):
     ws, bs = _TorchParams(h, name=f"trunk_{mlp.skip_layer}")(nin + h)
     w_merged = jnp.concatenate([w0, ws[:nin]], axis=1).astype(dt)
     y = jnp.dot(ipe.astype(dt), w_merged, preferred_element_type=jnp.float32)
-    x = _relu(y[..., :h] + b0)
+    x = _relu(y[..., :h] + b0, mlp)
     skip_ipe = y[..., h:]
     for i in range(1, mlp.num_trunk_layers):
         if i == mlp.skip_layer:
@@ -205,15 +221,16 @@ def _mlp_trunk_folded(mlp, ipe):
                 skip_ipe
                 + jnp.dot(x.astype(dt), ws[nin:].astype(dt),
                           preferred_element_type=jnp.float32)
-                + bs
+                + bs,
+                mlp,
             )
             continue
         x = _TorchDense(mlp.hidden_size, dtype=mlp.dtype, name=f"trunk_{i}")(x)
-        x = _relu(x)
+        x = _relu(x, mlp)
     return x
 
 
-def _mlp_heads(ipe, dirs, x, dtype, hidden_size, dir_hidden, head_modules):
+def _mlp_heads(mlp, ipe, dirs, x, dtype, head_modules):
     """The shared head block of MipMLP / DepthMipMLP with TPU-friendly
     matmul merging.  Three wins over the naive per-head Denses (all exact —
     the merges concatenate weight columns of matmuls that share an input, so
@@ -231,6 +248,7 @@ def _mlp_heads(ipe, dirs, x, dtype, hidden_size, dir_hidden, head_modules):
     ``head_modules`` maps name -> _TorchParams instance (already named so the
     param tree matches the reference layout).
     """
+    hidden_size, dir_hidden = mlp.hidden_size, mlp.dir_hidden
     wf, bf = head_modules["fc_feat"](x.shape[-1])
     wa, ba = head_modules["fc_alpha"](hidden_size)
     wd, bd = head_modules["dir_0"](hidden_size + dirs.shape[-1])
@@ -251,7 +269,7 @@ def _mlp_heads(ipe, dirs, x, dtype, hidden_size, dir_hidden, head_modules):
         wd[hidden_size:].astype(dtype),
         preferred_element_type=jnp.float32,
     )
-    h = _relu(am[..., 1:] + dproj + bd)
+    h = _relu(am[..., 1:] + dproj + bd, mlp)
 
     ws, bs2 = [], []
     for name in ("fc_rgb", "fc_mu_sigma"):
@@ -282,6 +300,10 @@ class MipMLP(nn.Module):
     skip_layer: int = 5
     dir_hidden: int = 128
     dtype: Optional[Any] = None  # compute dtype (e.g. jnp.bfloat16)
+    # Numerics/perf switches (cfg.parallel.*; see config.py rationale).
+    relu_save_output: bool = True
+    relu_bf16_residual: bool = True
+    split_skip_layer: bool = True
 
     @nn.compact
     def __call__(self, ipe, dirs):
@@ -293,8 +315,7 @@ class MipMLP(nn.Module):
             "fc_rgb": _TorchParams(3, name="fc_rgb"),
         }
         dtype = self.dtype or ipe.dtype
-        return _mlp_heads(ipe, dirs, x, dtype, self.hidden_size,
-                          self.dir_hidden, heads)
+        return _mlp_heads(self, ipe, dirs, x, dtype, heads)
 
 
 class DepthMipMLP(nn.Module):
@@ -309,6 +330,9 @@ class DepthMipMLP(nn.Module):
     skip_layer: int = 5
     dir_hidden: int = 128
     dtype: Optional[Any] = None
+    relu_save_output: bool = True
+    relu_bf16_residual: bool = True
+    split_skip_layer: bool = True
 
     @nn.compact
     def __call__(self, ipe, dirs):
@@ -321,5 +345,4 @@ class DepthMipMLP(nn.Module):
             "fc_mu_sigma": _TorchParams(2, name="fc_mu_sigma"),
         }
         dtype = self.dtype or ipe.dtype
-        return _mlp_heads(ipe, dirs, x, dtype, self.hidden_size,
-                          self.dir_hidden, heads)
+        return _mlp_heads(self, ipe, dirs, x, dtype, heads)

@@ -81,38 +81,32 @@ class ScheduleValues(NamedTuple):
         )
 
 
-# Trace-time switch: recompute the IPE in the backward pass (see
-# _run_network).  Default on; A/B benchmarks flip it.
-_REMAT_IPE = True
+# Trace-time OVERRIDES for the A/B harness (benchmarks/ab.py applies
+# MODULE.FLAG=VALUE assignments before tracing).  None = follow the config
+# (``cfg.parallel.*`` — the production values, recorded by the config
+# snapshot so a run's numerics are reproducible from logdir/config.yml).
+# The measured rationale for each default lives on its config field
+# (config.py ParallelConfig) and in PERF.md:
+#
+# * _REMAT_IPE -> cfg.parallel.remat_ipe
+# * _KERNEL_PER_RAY_DIRS -> cfg.parallel.kernel_per_ray_dirs (negative on
+#   v5e: 368.0k vs 389.6k rays/s — the per-block iota/compare +
+#   HIGHEST-precision expand costs more than the 34 MB/step of dirs traffic
+#   it saves; the trade can flip where HBM is scarcer relative to VPU)
+# * _KERNEL_STASH_ACTS -> cfg.parallel.kernel_stash_acts (+14% on v5e;
+#   ~277 MB of HBM per network at the flagship batch; gradients
+#   bit-comparable to recompute mode)
+# * _RENDER_KERNEL_VARIANT -> cfg.parallel.render_kernel_variant
+_REMAT_IPE = None
+_FORCE_PALLAS_POLICY = None  # overrides cfg.parallel.pallas_mlp
+_KERNEL_PER_RAY_DIRS = None
+_KERNEL_STASH_ACTS = None
+_RENDER_KERNEL_VARIANT = None
 
-# Trace-time override of cfg.parallel.pallas_mlp for A/B harnesses
-# (benchmarks/ab.py applies MODULE.FLAG=VALUE assignments, not config edits).
-_FORCE_PALLAS_POLICY = None
 
-# Feed the train kernels PER-RAY dirs ([N, 27], broadcast in-kernel through
-# an exact one-hot contraction) instead of pre-broadcast per-sample rows.
-# MEASURED NEGATIVE on v5e: 368.0k vs 389.6k rays/s (interleaved A/B) — the
-# per-block iota/compare + HIGHEST-precision expand costs more than the 34
-# MB/step of dirs traffic it saves, and the 32*S-row blocks (1056) schedule
-# slightly worse than 1024.  Kept as a switch: the trade flips wherever HBM
-# is scarcer relative to VPU (larger S, narrower chips).
-_KERNEL_PER_RAY_DIRS = False
-
-# Have the fused forward kernel stash its activations to HBM (bf16) so the
-# fused backward skips its in-VMEM forward recompute (10 matmuls fewer per
-# block, traded for stash DMA that overlaps the remaining compute).
-# Measured +14% on v5e (445.5k vs 390.4k rays/s, interleaved A/B); the
-# stash costs ~277 MB of HBM per network at the flagship batch.  Gradients
-# are bit-comparable to recompute mode (the recompute was bit-identical to
-# the forward by construction; tested exactly equal in f32).
-_KERNEL_STASH_ACTS = True
-
-# Which kernel backs the eval/render fused path ("render"/"all" policies):
-# "ipe" = fused_ipe_mlp (IPE in-kernel, the round-1 design); "mlp" =
-# fused_mlp with XLA IPE + per-ray dirs (the train kernel's integration
-# recipe).  XLA's end-to-end fusion still won render as of round 2
-# (744k vs 540k rays/s) — this switch exists to re-measure cheaply.
-_RENDER_KERNEL_VARIANT = "ipe"
+def _ov(override, cfg_value):
+    """Trace-time module override beats config; None follows config."""
+    return cfg_value if override is None else override
 
 
 def _dtype_of(cfg: Config):
@@ -131,12 +125,22 @@ class NerfPipeline:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         dtype = _dtype_of(cfg)
+        mlp_kw = dict(
+            dtype=dtype,
+            relu_save_output=cfg.parallel.relu_save_output,
+            relu_bf16_residual=cfg.parallel.relu_bf16_residual,
+            split_skip_layer=cfg.parallel.split_skip_layer,
+        )
         if cfg.is_ddnerf():
-            self.coarse = DepthMipMLP(hidden_size=cfg.nerf.coarse_hidden_size, dtype=dtype)
-            self.fine = MipMLP(hidden_size=cfg.nerf.fine_hidden_size, dtype=dtype)
+            self.coarse = DepthMipMLP(
+                hidden_size=cfg.nerf.coarse_hidden_size, **mlp_kw
+            )
+            self.fine = MipMLP(hidden_size=cfg.nerf.fine_hidden_size, **mlp_kw)
             self.shared_net = False
         else:
-            self.coarse = MipMLP(hidden_size=cfg.nerf.coarse_hidden_size, dtype=dtype)
+            self.coarse = MipMLP(
+                hidden_size=cfg.nerf.coarse_hidden_size, **mlp_kw
+            )
             self.fine = None  # one shared net for both cycles (models.py:28)
             self.shared_net = True
 
@@ -192,6 +196,12 @@ class NerfPipeline:
             and not self._pallas_interpret
         )
 
+    def _ipe(self, means, covs):
+        """IPE with the config-selected sin/cos path (core/math.py)."""
+        return mmath.integrated_pos_enc(
+            (means, covs), double_angle=self.cfg.parallel.ipe_double_angle
+        )
+
     def _run_network(self, module, params, rays: RayBatch, t_vals, mode="train"):
         """cast_rays → IPE → viewdir PE → MLP (reference models.py:117-142).
 
@@ -213,12 +223,10 @@ class NerfPipeline:
             n, s = means.shape[0], means.shape[1]
             # Flatten BEFORE the IPE so the big [N*S, 96] feature array is
             # born in the kernel's row-major layout (no post-hoc reshape).
-            ipe = mmath.integrated_pos_enc(
-                (means.reshape(n * s, 3), covs.reshape(n * s, 3))
-            )
+            ipe = self._ipe(means.reshape(n * s, 3), covs.reshape(n * s, 3))
             dirs_enc = mmath.positional_encoding(rays.viewdirs, num_freqs=4)
             cdt = _dtype_of(self.cfg)
-            if _KERNEL_PER_RAY_DIRS:
+            if _ov(_KERNEL_PER_RAY_DIRS, self.cfg.parallel.kernel_per_ray_dirs):
                 dirs_in, spr = dirs_enc, s
             else:
                 dirs_in = jnp.broadcast_to(
@@ -243,21 +251,24 @@ class NerfPipeline:
                 self._pallas_interpret,
                 cdt,
                 spr,
-                _KERNEL_STASH_ACTS,
+                _ov(_KERNEL_STASH_ACTS, self.cfg.parallel.kernel_stash_acts),
+                self.cfg.parallel.bwd_block_rows,
             )
             return flat.reshape(n, s, out_dim)
         if self._use_pallas(mode):
             depth_head = isinstance(module, DepthMipMLP)
             out_dim = 6 if depth_head else 4
             n, s = means.shape[0], means.shape[1]
-            if _RENDER_KERNEL_VARIANT == "mlp":
+            variant = _ov(_RENDER_KERNEL_VARIANT,
+                          self.cfg.parallel.render_kernel_variant)
+            if variant == "mlp":
                 # fused_mlp with the IPE in XLA (flatten-first) and PER-RAY
                 # dirs — the train kernel's integration recipe applied to
                 # the forward-only path.
                 from ddnerf_tpu.kernels.fused_mlp import fused_mlp_forward
 
-                ipe = mmath.integrated_pos_enc(
-                    (means.reshape(n * s, 3), covs.reshape(n * s, 3))
+                ipe = self._ipe(
+                    means.reshape(n * s, 3), covs.reshape(n * s, 3)
                 )
                 dirs_enc = mmath.positional_encoding(
                     rays.viewdirs, num_freqs=4
@@ -289,17 +300,15 @@ class NerfPipeline:
             return flat.reshape(n, s, out_dim)
 
         def net(params, means, covs, viewdirs):
-            if _REMAT_IPE:
+            if _ov(_REMAT_IPE, self.cfg.parallel.remat_ipe):
                 # Recompute the IPE in the backward instead of saving it:
                 # the saved [N,S,96] residual otherwise needs a slow
                 # cross-dim relayout for trunk_0's wgrad (a 0.35 ms kLoop
                 # copy in the trace digest), while recomputing it is ~0.05 ms
                 # of VPU work emitted directly in the consumer's layout.
-                ipe = jax.checkpoint(
-                    lambda m, c: mmath.integrated_pos_enc((m, c))
-                )(means, covs)
+                ipe = jax.checkpoint(self._ipe)(means, covs)
             else:
-                ipe = mmath.integrated_pos_enc((means, covs))  # [N, S, 96]
+                ipe = self._ipe(means, covs)  # [N, S, 96]
             dirs_enc = mmath.positional_encoding(viewdirs, num_freqs=4)  # [N, 27]
             # Keep the [N, S, C] form: measured ~9% faster than flattening
             # to [N*S, C] at the flagship batch (XLA layout choice).  Large

@@ -66,6 +66,18 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
+def effective_train_rays(cfg: Config, mesh) -> int:
+    """Rays actually drawn per step by the sharded store sampler: the
+    per-device draw is ceil-rounded, so the effective batch is
+    ``ceil(num_random_rays / D) * D``.  Throughput and metric accounting
+    must use this, not the configured value (round-3 advisor finding)."""
+    n = cfg.nerf.train.num_random_rays
+    if mesh is None:
+        return n
+    d = int(mesh.devices.size)
+    return -(-n // d) * d
+
+
 def make_sharded_train_step(cfg: Config, pipeline, mesh: Mesh):
     """jit the train step with explicit shardings: state replicated, batch
     ray-sharded.  The gradient all-reduce over the data axis is inserted by
@@ -108,6 +120,16 @@ def make_sharded_store_sampler(mesh: Mesh, num_rays: int,
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
     per_dev = -(-num_rays // n_dev)
+    if per_dev * n_dev != num_rays:
+        import warnings
+
+        warnings.warn(
+            f"num_random_rays={num_rays} does not divide the {n_dev}-device "
+            f"mesh; the effective batch is {per_dev * n_dev} rays per step "
+            "(loss means, gradient scale, and rays/s accounting use the "
+            "effective size — see sampler.effective_num_rays)",
+            stacklevel=2,
+        )
 
     def sample_local(store_shard, rng):
         # store_shard: this device's [n_img, n_pix/D, 10] block.

@@ -87,6 +87,7 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
     # exceeds ~6 GB fall back to host-side sampling + per-step transfer
     # (the reference's only mode).
     host_store = train_ds.device_store()
+    rays_per_iter = cfg.nerf.train.num_random_rays
     n_store_shards = int(mesh.devices.size) if mesh is not None else 1
     use_device_store = (
         host_store.nbytes / n_store_shards
@@ -101,6 +102,12 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
             # assembled array is globally [n_img, n_pix_padded, 10].
             store = dist.build_sharded_store(mesh, host_store)
             step_fn = make_sharded_store_train_step(cfg, pipeline, mesh)
+            # The sharded sampler ceil-rounds the per-device draw; rays/s
+            # accounting must use the effective batch, not the configured
+            # one (mesh.effective_train_rays).
+            from ddnerf_tpu.parallel.mesh import effective_train_rays
+
+            rays_per_iter = effective_train_rays(cfg, mesh)
         else:
             store = jnp.asarray(host_store)
             step_fn = jax.jit(
@@ -142,13 +149,27 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
         # (the reference's per-iter sample->transfer->step chain,
         # dataset.py:50-59, is the anti-pattern being hidden).  The host rng
         # is drawn in the same order as the synchronous loop, so batch
-        # contents are identical.
+        # contents are identical.  The prefetch is skipped once every
+        # remaining step has a batch (the entry prefetch counts as one), so
+        # the final step neither wastes an upload nor advances the host rng
+        # past the synchronous loop's draw count.
         prefetched = [sample_upload()]
+        upload_calls = [1]
+
+        def _steps_expected():
+            n = total_iters - start
+            if requested_profile_steps and start + 2 < total_iters:
+                n += requested_profile_steps  # extra profiled-block steps
+            return n
 
         def step_fn(state, _unused):
             batch = prefetched[0]
             result = batch_step(state, batch)  # async dispatch
-            prefetched[0] = sample_upload()  # overlaps the running step
+            if upload_calls[0] < _steps_expected():
+                prefetched[0] = sample_upload()  # overlaps the running step
+                upload_calls[0] += 1
+            else:
+                prefetched[0] = None
             return result
 
         store = None
@@ -178,9 +199,9 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
 
     def train_rate(iters_done: int) -> float:
         # rays/sec is the north-star throughput metric (SURVEY.md §5).
-        return iters_done * cfg.nerf.train.num_random_rays / (
-            time.time() - t_start
-        )
+        # rays_per_iter is the EFFECTIVE per-step batch (the sharded store
+        # sampler ceil-rounds the per-device draw).
+        return iters_done * rays_per_iter / (time.time() - t_start)
 
     def print_train(i, m, rate):
         if verbose:

@@ -235,3 +235,125 @@ def test_merge_from_list_int_to_float_coercion():
     out = cfg.merge_from_list(["optimizer.lr_init", "1"])
     assert out.optimizer.lr_init == 1.0
     assert isinstance(out.optimizer.lr_init, float)
+
+
+# ---------------------------------------------------------------------------
+# Numerics/perf switches promoted into config (round-4): the snapshot must
+# round-trip every switch, the pipeline must honor it, and the module
+# globals must act as trace-time overrides (None = follow config).
+# ---------------------------------------------------------------------------
+
+_SWITCHES = {
+    "remat_ipe": False,
+    "kernel_stash_acts": False,
+    "kernel_per_ray_dirs": True,
+    "bwd_block_rows": 512,
+    "render_kernel_variant": "mlp",
+    "relu_save_output": False,
+    "relu_bf16_residual": False,
+    "split_skip_layer": False,
+    "ipe_double_angle": False,
+}
+
+
+def test_switches_roundtrip_through_snapshot():
+    """config.dump() -> from_yaml reproduces every numerics switch (the
+    config-snapshot contract, reference train_model.py:44-46)."""
+    import io
+
+    cfg = Config()
+    for k, v in _SWITCHES.items():
+        cfg = cfg.replace_at(f"parallel.{k}", v)
+    back = Config.from_yaml(io.StringIO(cfg.dump()))
+    for k, v in _SWITCHES.items():
+        assert getattr(back.parallel, k) == v, k
+
+
+def test_switches_reach_the_modules():
+    """The pipeline threads the config switches into the flax modules and
+    the IPE path; exact-rewrite switches leave the forward identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddnerf_tpu.models.nerf import NerfPipeline, RayBatch, ScheduleValues
+
+    base = Config.from_dict(
+        {
+            "nerf": {
+                "type": "DDNerfModel",
+                "coarse_hidden_size": 16,
+                "fine_hidden_size": 16,
+                "train": {"num_coarse": 4, "num_fine": 4,
+                          "radiance_field_noise_std": 0.0},
+                "validation": {"num_coarse": 4, "num_fine": 4,
+                               "perturb": False},
+            },
+            "dataset": {"type": "blender", "synthetic": True},
+        }
+    )
+    flipped = base
+    for k, v in _SWITCHES.items():
+        flipped = flipped.replace_at(f"parallel.{k}", v)
+
+    pa, pb = NerfPipeline(base), NerfPipeline(flipped)
+    assert pa.coarse.relu_save_output and not pb.coarse.relu_save_output
+    assert pa.fine.split_skip_layer and not pb.fine.split_skip_layer
+
+    rng = np.random.default_rng(0)
+    ro = rng.uniform(-1, 1, (8, 3)).astype(np.float32)
+    rd = rng.standard_normal((8, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rays = RayBatch.create(
+        jnp.asarray(ro), jnp.asarray(rd), jnp.full((8, 1), 0.002), 2.0, 6.0
+    )
+    params = pa.init_params(jax.random.PRNGKey(0))
+    sched = ScheduleValues.for_eval(base)
+    key = jax.random.PRNGKey(1)
+    out_a = pa.render_rays(params, rays, key, sched, "validation")
+    out_b = pb.render_rays(params, rays, key, sched, "validation")
+    # relu variant / split-skip / remat are exact rewrites; the IPE path
+    # differs only by the recurrence's ~1e-5 drift at high degrees.
+    np.testing.assert_allclose(
+        np.asarray(out_a[1]["rgb"]), np.asarray(out_b[1]["rgb"]),
+        rtol=2e-4, atol=2e-4,
+    )
+
+    # Training (gradient) path runs under both switch sets.
+    def loss_fn(p, pipe):
+        out = pipe.render_rays(p, rays, key, sched, "train")
+        return jnp.mean(out[1]["rgb"]) + out[1]["dp_loss"]
+
+    ga = jax.grad(lambda p: loss_fn(p, pa))(params)
+    gb = jax.grad(lambda p: loss_fn(p, pb))(params)
+    for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        assert np.isfinite(np.asarray(la)).all()
+        assert np.isfinite(np.asarray(lb)).all()
+
+
+def test_module_override_beats_config():
+    from ddnerf_tpu.core import math as mmath
+    from ddnerf_tpu.models import nerf as nerf_mod
+
+    assert nerf_mod._ov(None, "cfgval") == "cfgval"
+    assert nerf_mod._ov("forced", "cfgval") == "forced"
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((4, 3)),
+                    jnp.float32)
+    var = jnp.full((4, 3), 0.01, jnp.float32)
+    direct = np.asarray(
+        mmath.integrated_pos_enc((x, var), double_angle=False)
+    )
+    prev = mmath.IPE_DOUBLE_ANGLE
+    try:
+        mmath.IPE_DOUBLE_ANGLE = False
+        # Caller asks for the recurrence; the override forces direct.
+        forced = np.asarray(
+            mmath.integrated_pos_enc((x, var), double_angle=True)
+        )
+    finally:
+        mmath.IPE_DOUBLE_ANGLE = prev
+    np.testing.assert_array_equal(direct, forced)
