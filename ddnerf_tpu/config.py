@@ -109,6 +109,11 @@ class DatasetConfig:
     testskip: int = 1
     # ddnerf_tpu extension: procedurally generated scene for tests/benches.
     synthetic: bool = False
+    # Reference quirk fix (off = reference parity): the reference un-warps a
+    # validation image's NDC depth through the NEXT image's camera (it reads
+    # the round-robin index after the advance, dataset.py:137-154).  True
+    # un-warps through the pose of the image actually rendered.
+    fix_validation_unwarp_rays: bool = False
 
 
 @dataclass(frozen=True)

@@ -124,6 +124,7 @@ class ValRayDataset:
         self.ndc = ndc_rays
         self.near_plane = 1.0
         self.current_idx = 0
+        self.served_idx = 0  # index of the image most recently served
         self.render_poses = render_poses
         self.render_idx = 0
         self.cfg = cfg
@@ -145,6 +146,7 @@ class ValRayDataset:
         (dataset.py:137-148); advances the round-robin index."""
         ro, rd, radii = self._bundle(self.poses[self.current_idx])
         gt = self.images[self.current_idx]
+        self.served_idx = self.current_idx
         self.current_idx = (self.current_idx + 1) % self.images.shape[0]
         return ro, rd, radii, gt
 
@@ -154,14 +156,24 @@ class ValRayDataset:
         same round-robin semantics, no host ray bundling."""
         pose = self.poses[self.current_idx]
         gt = self.images[self.current_idx]
+        self.served_idx = self.current_idx
         self.current_idx = (self.current_idx + 1) % self.images.shape[0]
         return pose, gt
 
-    def get_current_regular_validation_rays(self):
-        """Non-NDC rays of the *current* image for depth un-warping
-        (dataset.py:150-154).  Note: matches the reference in reading
-        ``current_idx`` after it was advanced."""
-        return get_ray_bundle(self.H, self.W, self.focal, self.poses[self.current_idx])
+    def get_current_regular_validation_rays(self, fixed: bool = False):
+        """Non-NDC rays for the NDC-depth un-warp of the image just rendered
+        (dataset.py:150-154).
+
+        DECIDED reference quirk (round-4 verdict item 7): the reference
+        reads ``current_idx`` AFTER the round-robin advance, so its un-warp
+        uses the NEXT image's pose — the visualized metric depth of a val
+        image is un-warped through the wrong camera.  Default (``fixed=
+        False``) reproduces that for parity; ``fixed=True`` (config:
+        ``dataset.fix_validation_unwarp_rays``) un-warps through the pose
+        of the image actually served.  Both behaviors are parity-tested
+        (tests/test_poses_render.py)."""
+        idx = self.served_idx if fixed else self.current_idx
+        return get_ray_bundle(self.H, self.W, self.focal, self.poses[idx])
 
     def get_next_render_pose(self):
         ro, rd, radii = self._bundle(self.render_poses[self.render_idx])

@@ -157,11 +157,76 @@ class NerfPipeline:
         # handshakes for 70-700 s, PERF.md operational notes).
         self._pallas_interpret_cached: bool | None = None
 
+        # Probe-compile result of the fused train kernels (None = not yet
+        # probed; see _fused_train_available).
+        self._fused_train_ok: bool | None = None
+
     @property
     def _pallas_interpret(self) -> bool:
         if self._pallas_interpret_cached is None:
             self._pallas_interpret_cached = jax.default_backend() == "cpu"
         return self._pallas_interpret_cached
+
+    # ----------------------------------------------------- kernel availability
+
+    def _fused_train_available(self) -> bool:
+        """Probe-compile the fused train kernels once (tiny batch, the real
+        backend) and cache the outcome.  On failure — e.g. a TPU generation
+        or Mosaic toolchain that rejects the kernel's block shape
+        (fused_mlp_bwd.BWD_BLOCK_ROWS is the only size known to compile on
+        v5e) — warn and fall back to the XLA train step instead of crashing
+        the CLI: all shipped configs default ``pallas_mlp: train``, and this
+        build must never be *less* runnable than its slow path (cf. the
+        reference's unconditional CPU fallback, train_model.py:54-57)."""
+        if self._fused_train_ok is None:
+            try:
+                self._probe_fused_train()
+                self._fused_train_ok = True
+            except Exception as e:  # Mosaic/compile errors are not typed
+                import warnings
+
+                warnings.warn(
+                    "fused Pallas train kernels unavailable on this backend "
+                    f"({type(e).__name__}: {str(e)[:300]}); falling back to "
+                    "the XLA train step (pallas_mlp: off semantics, ~80% of "
+                    "the fused speed)"
+                )
+                self._fused_train_ok = False
+        return self._fused_train_ok
+
+    def _probe_fused_train(self) -> None:
+        """One tiny fwd+bwd through ``fused_mlp_train_apply`` per distinct
+        network shape, with the exact static kernel config production will
+        use (stash / per-ray dirs / block rows / compute dtype) — Mosaic
+        compilation depends only on those statics, not the row count, so
+        this one-block probe is representative."""
+        from ddnerf_tpu.kernels import fused_mlp_bwd as fk
+
+        par = self.cfg.parallel
+        cdt = _dtype_of(self.cfg)
+        per_ray = _ov(_KERNEL_PER_RAY_DIRS, par.kernel_per_ray_dirs)
+        stash = _ov(_KERNEL_STASH_ACTS, par.kernel_stash_acts)
+        params = self.init_params(jax.random.PRNGKey(0))
+        nets = [("coarse", isinstance(self.coarse, DepthMipMLP))]
+        if not self.shared_net:
+            nets.append(("fine", False))
+        n, s = 32, 33  # one (padded) row-block; 32 rays = one dirs block
+        for key, depth in nets:
+            p = params[key]
+            if per_ray:
+                dirs, spr = jnp.zeros((n, 27), cdt), s
+            else:
+                dirs, spr = jnp.zeros((n * s, 27), cdt), 0
+            ipe = jnp.zeros((n * s, 96), cdt)
+
+            def f(pp):
+                out = fk.fused_mlp_train_apply(
+                    pp, ipe, dirs, depth, self._pallas_interpret, cdt, spr,
+                    stash, par.bwd_block_rows,
+                )
+                return jnp.sum(out.astype(jnp.float32))
+
+            jax.block_until_ready(jax.grad(f)(p))
 
     # ------------------------------------------------------------------ init
 
@@ -211,7 +276,11 @@ class NerfPipeline:
         means, covs = mmath.cast_rays(
             t_vals, rays.origins, rays.directions, rays.radii, self.cfg.nerf.ray_shape
         )
-        if self._pallas_policy() == "train" and mode == "train":
+        if (
+            self._pallas_policy() == "train"
+            and mode == "train"
+            and self._fused_train_available()
+        ):
             # Fused-backward train kernel: the whole per-network backward
             # (relu masks, dgrad chain, all weight/bias grads) runs in VMEM
             # per row-block with the forward recomputed in-block — no

@@ -365,7 +365,9 @@ def _make_validation_cb(cfg, doc, renderer, val_ds, verbose,
 
         vm = _validation_metrics(cfg, out, gt)
         if cfg.dataset.ndc_rays:
-            ro_reg, rd_reg, _ = val_ds.get_current_regular_validation_rays()
+            ro_reg, rd_reg, _ = val_ds.get_current_regular_validation_rays(
+                fixed=cfg.dataset.fix_validation_unwarp_rays
+            )
             for j in (0, 1):
                 out[j]["depth"] = switch_t_ndc_to_regular(
                     out[j]["depth"], ro_reg, rd_reg

@@ -117,3 +117,32 @@ def test_ndc_rays_parity():
         ref_unwarp(torch.tensor(depth), torch.tensor(o_j), torch.tensor(d_j)).numpy(),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_validation_unwarp_rays_quirk_and_fix():
+    """The NDC-depth un-warp quirk (round-4 verdict item 7, DECIDED):
+    default = reference parity (rays of the NEXT image — reference
+    dataset.py:137-154 reads current_idx after the advance); fixed=True =
+    rays of the image actually served."""
+    from ddnerf_tpu.core.rays import get_ray_bundle
+    from ddnerf_tpu.data.datasets import ValRayDataset
+
+    poses = np.stack([pose_spherical(a, -30.0, 4.0) for a in (0.0, 90.0, 180.0)])
+    images = np.zeros((3, 8, 8, 3), np.float32)
+    ds = ValRayDataset(poses, images, focal=10.0, render_poses=poses)
+
+    ds.get_next_validation_rays()  # serves image 0, advances to 1
+    quirk_ro, _, _ = ds.get_current_regular_validation_rays()
+    fixed_ro, _, _ = ds.get_current_regular_validation_rays(fixed=True)
+
+    next_ro, _, _ = get_ray_bundle(8, 8, 10.0, poses[1])
+    served_ro, _, _ = get_ray_bundle(8, 8, 10.0, poses[0])
+    np.testing.assert_array_equal(np.asarray(quirk_ro), np.asarray(next_ro))
+    np.testing.assert_array_equal(np.asarray(fixed_ro), np.asarray(served_ro))
+    assert not np.allclose(np.asarray(quirk_ro), np.asarray(fixed_ro))
+
+    # The pose-based twin records the same served index.
+    ds.get_next_validation_pose()  # serves image 1, advances to 2
+    fixed_ro2, _, _ = ds.get_current_regular_validation_rays(fixed=True)
+    served_ro2, _, _ = get_ray_bundle(8, 8, 10.0, poses[1])
+    np.testing.assert_array_equal(np.asarray(fixed_ro2), np.asarray(served_ro2))
