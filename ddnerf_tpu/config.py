@@ -230,6 +230,11 @@ class ParallelConfig:
     split_skip_layer: bool = True
     # IPE sin/cos via the double-angle recurrence (core/math.py rationale).
     ipe_double_angle: bool = True
+    # Hand-derived adjoint for the compositing weights (one reverse cumsum
+    # instead of autodiff through the exclusive-cumprod chain — see
+    # core/rendering.weights_from_alpha).  Same math; off until the on-chip
+    # A/B records a win.
+    composite_custom_vjp: bool = False
 
 
 @dataclass(frozen=True)

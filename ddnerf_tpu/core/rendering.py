@@ -23,6 +23,56 @@ def cumprod_exclusive(x: jax.Array) -> jax.Array:
     )
 
 
+# The compositing weights w_i = a_i * T_i with T_i = prod_{j<i}(1 - a_j + e)
+# carry the only scan in the whole step, and autodiff of the cumprod chain
+# is what the trace digest attributes the volume-rendering backward to.
+# The analytic adjoint is two elementwise ops and ONE reverse cumsum:
+#
+#   dL/da_k = gw_k T_k - (sum_{i>k} gw_i w_i) / (1 - a_k + e)
+#
+# (dT_i/da_k = -T_i/(1-a_k+e) for k < i; the divisor is >= e > 0 by
+# construction, so the division is always well-defined).  Mathematically
+# identical to the autodiff gradient; tested against it to f32 tightness
+# (tests/test_pipeline.py::test_weights_from_alpha_custom_vjp).
+@jax.custom_vjp
+def _weights_from_alpha_analytic(alpha):
+    return alpha * cumprod_exclusive(1.0 - alpha + 1e-10)
+
+
+def _wfa_fwd(alpha):
+    trans = cumprod_exclusive(1.0 - alpha + 1e-10)
+    w = alpha * trans
+    return w, (alpha, trans, w)
+
+
+def _wfa_bwd(res, gw):
+    alpha, trans, w = res
+    gww = gw * w
+    # Strict suffix sum over i > k: shift left, THEN reverse-cumsum.  The
+    # tempting "inclusive cumsum minus own term" form cancels
+    # catastrophically whenever gww_k dominates its suffix (e.g. saturated
+    # alpha: own term O(1), suffix O(1e-10)).
+    shifted = jnp.concatenate(
+        [gww[..., 1:], jnp.zeros_like(gww[..., :1])], axis=-1
+    )
+    suffix = jnp.cumsum(shifted[..., ::-1], axis=-1)[..., ::-1]
+    ga = gw * trans - suffix / (1.0 - alpha + 1e-10)
+    return (ga,)
+
+
+_weights_from_alpha_analytic.defvjp(_wfa_fwd, _wfa_bwd)
+
+
+def weights_from_alpha(alpha, analytic_vjp: bool = False):
+    """Compositing weights from per-section alpha (the reference's
+    volume_rendering_utils.py:42-43 exclusive-transmittance form).
+    ``analytic_vjp`` selects the hand-derived adjoint above (same forward,
+    same math in the backward; config: parallel.composite_custom_vjp)."""
+    if analytic_vjp:
+        return _weights_from_alpha_analytic(alpha)
+    return alpha * cumprod_exclusive(1.0 - alpha + 1e-10)
+
+
 class RenderOutput(NamedTuple):
     rgb: jax.Array  # [N, 3] composited color
     disp: jax.Array  # [N] disparity map
@@ -44,6 +94,7 @@ def volume_render(
     white_background=False,
     mus=None,
     eps_mask_pdf=False,
+    analytic_weights_vjp=False,
 ) -> RenderOutput:
     """Composite per-sample radiance into per-ray maps.
 
@@ -81,7 +132,7 @@ def volume_render(
 
     sigma_a = jax.nn.softplus(density - 1.0)
     alpha = 1.0 - jnp.exp(-sigma_a * delta)
-    weights = alpha * cumprod_exclusive(1.0 - alpha + 1e-10)
+    weights = weights_from_alpha(alpha, analytic_vjp=analytic_weights_vjp)
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
 

@@ -102,6 +102,7 @@ _FORCE_PALLAS_POLICY = None  # overrides cfg.parallel.pallas_mlp
 _KERNEL_PER_RAY_DIRS = None
 _KERNEL_STASH_ACTS = None
 _RENDER_KERNEL_VARIANT = None
+_COMPOSITE_CUSTOM_VJP = None  # -> cfg.parallel.composite_custom_vjp
 
 
 def _ov(override, cfg_value):
@@ -459,6 +460,10 @@ class NerfPipeline:
                 noise_std=mc.radiance_field_noise_std,
                 white_background=mc.white_background,
                 eps_mask_pdf=self._eps_mask_pdf,
+                analytic_weights_vjp=_ov(
+                    _COMPOSITE_CUSTOM_VJP,
+                    self.cfg.parallel.composite_custom_vjp,
+                ),
             )
             weights = out.weights
             ret[i] = {
@@ -506,6 +511,10 @@ class NerfPipeline:
             white_background=mc.white_background,
             mus=mus,
             eps_mask_pdf=self._eps_mask_pdf,
+                analytic_weights_vjp=_ov(
+                    _COMPOSITE_CUSTOM_VJP,
+                    self.cfg.parallel.composite_custom_vjp,
+                ),
         )
 
         # Smooth the in-cell distribution before resampling (models.py:266-273)
@@ -544,6 +553,10 @@ class NerfPipeline:
             noise_std=mc.radiance_field_noise_std,
             white_background=mc.white_background,
             eps_mask_pdf=self._eps_mask_pdf,
+                analytic_weights_vjp=_ov(
+                    _COMPOSITE_CUSTOM_VJP,
+                    self.cfg.parallel.composite_custom_vjp,
+                ),
         )
 
         if mode == "render":

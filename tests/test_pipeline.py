@@ -207,3 +207,59 @@ def test_skip_fold_trunk0_exact():
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_f), atol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(grads), jax.tree_util.tree_leaves(grads_f)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_weights_from_alpha_custom_vjp():
+    """The analytic composite adjoint (parallel.composite_custom_vjp) must
+    match autodiff through the exclusive-cumprod chain: same forward bits,
+    f32-tight gradients — including saturated alphas (transmittance
+    underflow) and near-zero alphas."""
+    from ddnerf_tpu.core.rendering import weights_from_alpha
+
+    rng = np.random.RandomState(0)
+    alpha = jnp.asarray(
+        np.clip(rng.rand(16, 33).astype(np.float32), 1e-6, 1.0 - 1e-6)
+    )
+    # Edge rows: fully saturated (alpha == 1 -> divisor is exactly 1e-10)
+    # and fully transparent.
+    alpha = alpha.at[0].set(1.0).at[1].set(0.0)
+    gw = jnp.asarray(rng.randn(16, 33).astype(np.float32))
+
+    f_auto = lambda a: jnp.vdot(weights_from_alpha(a, analytic_vjp=False), gw)
+    f_ana = lambda a: jnp.vdot(weights_from_alpha(a, analytic_vjp=True), gw)
+
+    np.testing.assert_array_equal(
+        np.asarray(weights_from_alpha(alpha, analytic_vjp=False)),
+        np.asarray(weights_from_alpha(alpha, analytic_vjp=True)),
+    )
+    g_auto = np.asarray(jax.grad(f_auto)(alpha))
+    g_ana = np.asarray(jax.grad(f_ana)(alpha))
+    assert np.isfinite(g_ana).all()
+    np.testing.assert_allclose(g_ana, g_auto, rtol=2e-5, atol=2e-5)
+
+
+def test_composite_custom_vjp_full_step_parity():
+    """Flipping parallel.composite_custom_vjp must leave the full DDNeRF
+    train gradients f32-tight (it only changes the adjoint's op order)."""
+    cfg = tiny_cfg("DDNerfModel")
+    cfg_v = cfg.replace_at("parallel.composite_custom_vjp", True)
+    pipe, pipe_v = NerfPipeline(cfg), NerfPipeline(cfg_v)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    rays = make_rays(12)
+    sched = ScheduleValues.for_eval(cfg)
+
+    def loss(p, pp):
+        out = pp.render_rays(p, rays, jax.random.PRNGKey(3), sched, "train")
+        return (
+            jnp.mean((out[0]["rgb"] - 0.5) ** 2)
+            + jnp.mean((out[1]["rgb"] - 0.5) ** 2)
+            + 0.1 * out[1]["dp_loss"]
+        )
+
+    g_a = jax.grad(lambda p: loss(p, pipe))(params)
+    g_b = jax.grad(lambda p: loss(p, pipe_v))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_a),
+                    jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
