@@ -189,6 +189,20 @@ def interval_one_hot(x, fences, strict=False):
     return left - right
 
 
+# Precision of the fetch_sections contraction.  HIGHEST is the safe
+# default: the default TPU matmul precision is bf16, which quantizes the
+# fetched CDF values so u - cdf_g0 can flip sign and NaN the
+# truncated-Gaussian inverse CDF (observed: training diverged at ~1k iters
+# on v5e).  With exact 0/1 one-hot rows any full-f32-mantissa passthrough
+# is gather-identical; HIGH (the 3-pass bf16x3 decomposition, ~2x cheaper
+# on the MXU than HIGHEST's 6 passes) should also be exact here — each f32
+# operand splits into 3 bf16 terms whose products with an exact 0/1 row
+# re-sum to the f32 value — but that claim needs an on-chip quality soak
+# before shipping, so it stays an A/B switch (benchmarks/ab.py:
+# ddnerf_tpu.core.sampling.FETCH_PRECISION='high').
+FETCH_PRECISION = "highest"
+
+
 def fetch_sections(oh, *arrays):
     """Fetch per-sample values from K section arrays in ONE contraction.
 
@@ -196,19 +210,13 @@ def fetch_sections(oh, *arrays):
     into [..., S, K] and contracts with the shared one-hot — a single
     [M, S] @ [S, K] batched matmul instead of K separate einsums, which is
     the hot non-matmul op of the train step (PERF.md: convert/reduce tail).
-    Exact: one nonzero per one-hot row.  Returns a tuple of K [..., M]
-    arrays.
+    Exact: one nonzero per one-hot row (see FETCH_PRECISION).  Returns a
+    tuple of K [..., M] arrays.
     """
     stacked = jnp.stack(arrays, axis=-1)
-    # HIGHEST precision is required: the default TPU matmul precision is
-    # bf16, and unlike the K=1 one-hot einsums (which lower to exact VPU
-    # select/reduce fusions) this [M,S] @ [S,K] form lowers to an MXU
-    # matmul — bf16 would quantize the fetched CDF values, so u - cdf_g0
-    # can flip sign and NaN the truncated-Gaussian inverse CDF (observed:
-    # training diverged at ~1k iters on v5e).  With exact 0/1 one-hot rows
-    # f32 products are exact, so HIGHEST restores gather-identical values.
-    out = jnp.einsum("...ms,...sk->...mk", oh, stacked,
-                     precision=jax.lax.Precision.HIGHEST)
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH}[FETCH_PRECISION]
+    out = jnp.einsum("...ms,...sk->...mk", oh, stacked, precision=prec)
     return tuple(out[..., k] for k in range(len(arrays)))
 
 

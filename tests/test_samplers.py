@@ -474,3 +474,24 @@ def test_interval_one_hot_matches_clipped_index_fuzz():
             assert (oh.sum(-1) == 1).all()
             (got,) = fetch_sections(jnp.asarray(oh), jnp.asarray(vals))
             np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_fetch_sections_precision_switch():
+    """FETCH_PRECISION='high' must stay gather-exact (the bf16x3 claim is
+    validated on-chip; this pins the code path and CPU exactness)."""
+    from ddnerf_tpu.core import sampling as S
+
+    rng = np.random.default_rng(7)
+    fences = np.sort(rng.uniform(0, 1, (4, 9)).astype(np.float32), axis=-1)
+    x = rng.uniform(0, 1, (4, 13)).astype(np.float32)
+    vals = rng.standard_normal((4, 8)).astype(np.float32)
+    oh = S.interval_one_hot(jnp.asarray(x), jnp.asarray(fences))
+    prev = S.FETCH_PRECISION
+    try:
+        S.FETCH_PRECISION = "highest"
+        (a,) = S.fetch_sections(oh, jnp.asarray(vals))
+        S.FETCH_PRECISION = "high"
+        (b,) = S.fetch_sections(oh, jnp.asarray(vals))
+    finally:
+        S.FETCH_PRECISION = prev
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
