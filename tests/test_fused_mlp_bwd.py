@@ -260,3 +260,22 @@ def test_stash_composes_with_per_ray_dirs():
         lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4),
         got, want,
     )
+
+
+def test_block_rows_override_matches_default():
+    """parallel.bwd_block_rows flows through fused_mlp_train_apply to BOTH
+    directions (shared plan, so the stash shape stays consistent); a
+    non-default block size must reproduce the default's gradients."""
+    _, params, ipe, dirs = _setup(True, n=24)
+
+    def loss(p, br):
+        out = fused_mlp_train_apply(p, ipe, dirs, True, True,
+                                    jnp.float32, 0, True, br)
+        return jnp.sum(out**2)
+
+    g_default = jax.grad(lambda p: loss(p, 0))(params)
+    g_small = jax.grad(lambda p: loss(p, 256))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5),
+        g_default, g_small,
+    )
