@@ -572,3 +572,44 @@ def test_render_image_from_pose_matches_ray_path(trained_logdir):
             np.testing.assert_allclose(
                 np.asarray(got[cyc][key]), np.asarray(want[cyc][key]),
                 rtol=5e-4, atol=5e-5, err_msg=f"cycle {cyc} {key}")
+
+
+def test_host_sampling_draw_count_matches_steps(tmp_path, monkeypatch):
+    """The double-buffered host driver must draw exactly one batch per
+    executed step — the entry prefetch counts, and the final step's
+    prefetch is skipped (round-3 advisor: one wasted upload per train()
+    call and a host rng advanced one draw past the synchronous loop)."""
+    from ddnerf_tpu.data.datasets import TrainRayDataset
+
+    calls = {"n": 0}
+    orig = TrainRayDataset.sample_batch
+
+    def counting(self, rng, num_rays):
+        calls["n"] += 1
+        return orig(self, rng, num_rays)
+
+    monkeypatch.setattr(TrainRayDataset, "sample_batch", counting)
+
+    cfg = Config.from_dict(
+        {
+            "experiment": {
+                "id": "drawcount", "logdir": str(tmp_path), "train_iters": 4,
+                "validate_every": 10, "save_every": 10, "print_every": 10,
+            },
+            "nerf": {
+                "type": "DDNerfModel",
+                "coarse_hidden_size": 16,
+                "fine_hidden_size": 16,
+                "train": {"num_coarse": 4, "num_fine": 4, "num_random_rays": 32,
+                          "radiance_field_noise_std": 0.0, "chunksize": 1024},
+                "validation": {"num_coarse": 4, "num_fine": 4, "perturb": False,
+                               "chunksize": 1024},
+            },
+            "dataset": {"type": "blender", "synthetic": True},
+            "parallel": {"max_store_gb": 0.0, "num_devices": 1,
+                         "donate_state": False},
+        }
+    ).resolved()
+    state, _ = train(cfg, use_tensorboard=False, verbose=False)
+    assert int(state.step) == 4
+    assert calls["n"] == 4
