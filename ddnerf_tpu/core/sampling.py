@@ -334,4 +334,20 @@ def sample_pdf_with_mu_sigma(
 
     samples = samples.at[..., 0].set(near)
     samples = samples.at[..., -1].set(far)
+    if SKIP_RESAMPLER_SORT:
+        return samples
     return jnp.sort(samples, axis=-1)
+
+
+# The reference re-sorts the resampled fenceposts (samplers.py:213), but the
+# inverse-CDF construction already emits them sorted: u is sorted, the
+# interval index is therefore monotone; within a section the map
+# u -> frac -> z -> Φ⁻¹ -> clip(zσ+μ) -> lerp is non-decreasing, and a
+# section's samples lie inside [section start, section end] so cross-section
+# order follows from the sorted fences; the near/far endpoint overrides are
+# the global min/max.  ``jnp.sort`` is thus the identity here — pure cost
+# (a bitonic network on TPU) kept for defensive parity.  Fuzz-tested
+# (test_samplers::test_resampler_output_already_sorted); flip via
+# benchmarks/ab.py and ship through config once an on-chip A/B confirms
+# bit-identical outputs + a win.
+SKIP_RESAMPLER_SORT = False

@@ -495,3 +495,49 @@ def test_fetch_sections_precision_switch():
     finally:
         S.FETCH_PRECISION = prev
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resampler_output_already_sorted():
+    """The truncated-Gaussian resampler's output is sorted BEFORE the
+    defensive jnp.sort (SKIP_RESAMPLER_SORT rationale): fuzz both
+    pdf_padding modes, det and stochastic, incl. degenerate flat-CDF and
+    near-saturated weights."""
+    from ddnerf_tpu.core import sampling as S
+    from ddnerf_tpu.core.math import truncated_gaussian_tails
+
+    rng = np.random.default_rng(11)
+    prev = S.SKIP_RESAMPLER_SORT
+    try:
+        for trial in range(8):
+            n, s, m = 16, int(rng.integers(2, 34)), int(rng.integers(2, 40))
+            bins = np.sort(
+                rng.uniform(2.0, 6.0, (n, s + 1)).astype(np.float32), axis=-1
+            )
+            bins[:, 0], bins[:, -1] = 2.0, 6.0
+            w = (rng.uniform(0, 1, (n, s)) ** 5).astype(np.float32)
+            w[0] = 0.0  # fully degenerate ray
+            w[1, : s // 2] = 0.0  # flat CDF prefix
+            mus = jnp.asarray(rng.uniform(0, 1, (n, s)).astype(np.float32))
+            sigmas = jnp.asarray(
+                rng.uniform(0.001, 1.0, (n, s)).astype(np.float32)
+            )
+            lt, pib = truncated_gaussian_tails(mus, sigmas)
+            for det in (True, False):
+                for pad in (True, False):
+                    kw = dict(
+                        near=2.0, far=6.0,
+                        pdf_padding=jnp.asarray(pad), det=det,
+                    )
+                    key = jax.random.PRNGKey(trial)
+                    S.SKIP_RESAMPLER_SORT = True
+                    raw = np.asarray(S.sample_pdf_with_mu_sigma(
+                        key, jnp.asarray(bins), jnp.asarray(w), mus, sigmas,
+                        pib, lt, m, **kw))
+                    S.SKIP_RESAMPLER_SORT = False
+                    srt = np.asarray(S.sample_pdf_with_mu_sigma(
+                        key, jnp.asarray(bins), jnp.asarray(w), mus, sigmas,
+                        pib, lt, m, **kw))
+                    assert (np.diff(raw, axis=-1) >= 0).all(), (trial, det, pad)
+                    np.testing.assert_array_equal(raw, srt)
+    finally:
+        S.SKIP_RESAMPLER_SORT = prev
