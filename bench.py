@@ -85,7 +85,9 @@ def supervise() -> int:
                 timeout=max(deadline - time.time(), 0) + 1200,
             )
         except subprocess.TimeoutExpired as e:
-            tail = (e.stderr or "") if isinstance(e.stderr, str) else ""
+            # e.stderr is bytes or None even with text=True (POSIX).
+            err = e.stderr or b""
+            tail = err.decode(errors="replace") if isinstance(err, bytes) else err
             print(_error_json(f"bench attempt {attempt} timed out", tail))
             return 1
         if r.stderr:

@@ -216,8 +216,10 @@ class ParallelConfig:
     # exact one-hot contraction (measured negative on v5e; the trade can
     # flip where HBM is scarcer relative to VPU).
     kernel_per_ray_dirs: bool = False
-    # Row-block size of the fused backward kernel; 0 = kernel default
-    # (fused_mlp_bwd.BWD_BLOCK_ROWS).
+    # Row-block size of the fused train kernels (both directions share the
+    # plan); 0 = kernel default (fused_mlp_bwd.BWD_BLOCK_ROWS).  Applies to
+    # the per-SAMPLE dirs layout only: with kernel_per_ray_dirs the block
+    # is rays_per_block (32) whole rays regardless (fused_mlp.plan_blocks).
     bwd_block_rows: int = 0
     # Which kernel backs the "render"/"all" fused policies: "ipe" =
     # fused_ipe_mlp (IPE in-kernel), "mlp" = fused_mlp with XLA IPE.

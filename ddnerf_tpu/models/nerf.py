@@ -184,13 +184,26 @@ class NerfPipeline:
                 self._probe_fused_train()
                 self._fused_train_ok = True
             except Exception as e:  # Mosaic/compile errors are not typed
+                # TRANSIENT backend trouble (busy relay, lost connection)
+                # must not be cached as "kernels don't compile" — that would
+                # silently lock the whole run onto the ~80%-speed XLA path.
+                # Re-raise those; the caller's retry machinery (bench
+                # supervisor, operator rerun) owns them.
+                msg = f"{type(e).__name__}: {e}"
+                transient = any(
+                    m in msg
+                    for m in ("UNAVAILABLE", "DEADLINE_EXCEEDED",
+                              "Unable to initialize backend",
+                              "Socket closed", "Connection reset")
+                )
+                if transient:
+                    raise
                 import warnings
 
                 warnings.warn(
                     "fused Pallas train kernels unavailable on this backend "
-                    f"({type(e).__name__}: {str(e)[:300]}); falling back to "
-                    "the XLA train step (pallas_mlp: off semantics, ~80% of "
-                    "the fused speed)"
+                    f"({msg[:300]}); falling back to the XLA train step "
+                    "(pallas_mlp: off semantics, ~80% of the fused speed)"
                 )
                 self._fused_train_ok = False
         return self._fused_train_ok
@@ -208,11 +221,16 @@ class NerfPipeline:
         per_ray = _ov(_KERNEL_PER_RAY_DIRS, par.kernel_per_ray_dirs)
         stash = _ov(_KERNEL_STASH_ACTS, par.kernel_stash_acts)
         params = self.init_params(jax.random.PRNGKey(0))
-        nets = [("coarse", isinstance(self.coarse, DepthMipMLP))]
+        tp = self.cfg.nerf.train
+        nets = [("coarse", isinstance(self.coarse, DepthMipMLP),
+                 tp.num_coarse + 1)]
         if not self.shared_net:
-            nets.append(("fine", False))
-        n, s = 32, 33  # one (padded) row-block; 32 rays = one dirs block
-        for key, depth in nets:
+            nets.append(("fine", False, tp.num_fine + 1))
+        n = 32  # one dirs block of rays; rows pad to one kernel block
+        for key, depth, s in nets:
+            # s = the PRODUCTION samples-per-ray: in per-ray mode the block
+            # shape is rays_per_block * s, so probing any other s would
+            # compile a different kernel than training will.
             p = params[key]
             if per_ray:
                 dirs, spr = jnp.zeros((n, 27), cdt), s
@@ -261,6 +279,9 @@ class NerfPipeline:
             and mode in ("validation", "render")
             and not self._pallas_interpret
         )
+
+    def _analytic_weights_vjp(self) -> bool:
+        return _ov(_COMPOSITE_CUSTOM_VJP, self.cfg.parallel.composite_custom_vjp)
 
     def _ipe(self, means, covs):
         """IPE with the config-selected sin/cos path (core/math.py)."""
@@ -460,10 +481,7 @@ class NerfPipeline:
                 noise_std=mc.radiance_field_noise_std,
                 white_background=mc.white_background,
                 eps_mask_pdf=self._eps_mask_pdf,
-                analytic_weights_vjp=_ov(
-                    _COMPOSITE_CUSTOM_VJP,
-                    self.cfg.parallel.composite_custom_vjp,
-                ),
+                analytic_weights_vjp=self._analytic_weights_vjp(),
             )
             weights = out.weights
             ret[i] = {
@@ -511,10 +529,7 @@ class NerfPipeline:
             white_background=mc.white_background,
             mus=mus,
             eps_mask_pdf=self._eps_mask_pdf,
-                analytic_weights_vjp=_ov(
-                    _COMPOSITE_CUSTOM_VJP,
-                    self.cfg.parallel.composite_custom_vjp,
-                ),
+            analytic_weights_vjp=self._analytic_weights_vjp(),
         )
 
         # Smooth the in-cell distribution before resampling (models.py:266-273)
@@ -553,10 +568,7 @@ class NerfPipeline:
             noise_std=mc.radiance_field_noise_std,
             white_background=mc.white_background,
             eps_mask_pdf=self._eps_mask_pdf,
-                analytic_weights_vjp=_ov(
-                    _COMPOSITE_CUSTOM_VJP,
-                    self.cfg.parallel.composite_custom_vjp,
-                ),
+            analytic_weights_vjp=self._analytic_weights_vjp(),
         )
 
         if mode == "render":

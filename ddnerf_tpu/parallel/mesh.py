@@ -66,16 +66,21 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
-def effective_train_rays(cfg: Config, mesh) -> int:
-    """Rays actually drawn per step by the sharded store sampler: the
+def _effective_batch(num_rays: int, n_dev: int) -> int:
+    """The single source of the sharded sampler's rounding rule: the
     per-device draw is ceil-rounded, so the effective batch is
-    ``ceil(num_random_rays / D) * D``.  Throughput and metric accounting
-    must use this, not the configured value (round-3 advisor finding)."""
-    n = cfg.nerf.train.num_random_rays
+    ``ceil(num_rays / D) * D``."""
+    return -(-num_rays // n_dev) * n_dev
+
+
+def effective_train_rays(cfg: Config, mesh) -> int:
+    """Rays actually drawn per step by the sharded store sampler on
+    ``mesh``.  Throughput and metric accounting must use this, not the
+    configured value (round-3 advisor finding)."""
     if mesh is None:
-        return n
-    d = int(mesh.devices.size)
-    return -(-n // d) * d
+        return cfg.nerf.train.num_random_rays
+    return _effective_batch(cfg.nerf.train.num_random_rays,
+                            int(mesh.devices.size))
 
 
 def make_sharded_train_step(cfg: Config, pipeline, mesh: Mesh):
@@ -119,7 +124,7 @@ def make_sharded_store_sampler(mesh: Mesh, num_rays: int,
     """
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
-    per_dev = -(-num_rays // n_dev)
+    per_dev = _effective_batch(num_rays, n_dev) // n_dev
     if per_dev * n_dev != num_rays:
         import warnings
 
