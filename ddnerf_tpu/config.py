@@ -234,9 +234,25 @@ class ParallelConfig:
     ipe_double_angle: bool = True
     # Hand-derived adjoint for the compositing weights (one reverse cumsum
     # instead of autodiff through the exclusive-cumprod chain — see
-    # core/rendering.weights_from_alpha).  Same math; off until the on-chip
-    # A/B records a win.
-    composite_custom_vjp: bool = False
+    # core/rendering.weights_from_alpha).  Same math (gradcheck'd vs
+    # autodiff + f64); measured +0.3% on v5e (PERF.md round-4 A/B).
+    composite_custom_vjp: bool = True
+    # Precision of the one-hot section fetches in the resamplers and dp
+    # loss (core/sampling.fetch_sections): "highest" = gather-exact 6-pass
+    # decomposition; "high" = 3-pass, ~2x cheaper on the MXU but ~2^-16
+    # relative error on the fetched values (guarded by the frac clamp in
+    # sample_pdf_with_mu_sigma).  "high" measured +1.3% rays/s on v5e;
+    # default flips only after the 5k-iter quality soak (PERF.md round-4).
+    fetch_precision: str = "highest"
+    # Skip the defensive re-sort of the truncated-Gaussian resampler output
+    # (already sorted by construction — see core/sampling module comment;
+    # fuzz-tested, and confirmed bit-identical on chip).  +0.6% rays/s.
+    skip_resampler_sort: bool = True
+    # Feed the fused kernels raw-width inputs ([M, 96]/[M, 27]/[M, 4|6])
+    # instead of explicitly lane-padding to 128 — Mosaic pads internally,
+    # the explicit pads were pure copies.  +0.8% rays/s, bit-identical loss
+    # on v5e (PERF.md round-4).
+    raw_lane_inputs: bool = True
 
 
 @dataclass(frozen=True)

@@ -37,6 +37,7 @@ def estimate_dp_loss(
     *,
     filter_empty_rays: bool,
     variant: str = "kl",
+    fetch_precision: str = "highest",
 ):
     """KL divergence between the fine weight distribution and the coarse
     truncated-Gaussian depth distribution evaluated at the fine fenceposts
@@ -90,6 +91,7 @@ def estimate_dp_loss(
         oh,
         cdf[..., :-1],  # cdf at the section's start fencepost
         mus_ray, sigmas_ray, part_inside_cells_0, left_tails_0, pdf_0,
+        precision=fetch_precision,
     )
 
     x = (t_vals_1 - mus) / sigmas

@@ -189,33 +189,41 @@ def interval_one_hot(x, fences, strict=False):
     return left - right
 
 
-# Precision of the fetch_sections contraction.  HIGHEST is the safe
-# default: the default TPU matmul precision is bf16, which quantizes the
-# fetched CDF values so u - cdf_g0 can flip sign and NaN the
-# truncated-Gaussian inverse CDF (observed: training diverged at ~1k iters
-# on v5e).  With exact 0/1 one-hot rows any full-f32-mantissa passthrough
-# is gather-identical; HIGH (the 3-pass bf16x3 decomposition, ~2x cheaper
-# on the MXU than HIGHEST's 6 passes) should also be exact here — each f32
-# operand splits into 3 bf16 terms whose products with an exact 0/1 row
-# re-sum to the f32 value — but that claim needs an on-chip quality soak
-# before shipping, so it stays an A/B switch (benchmarks/ab.py:
-# ddnerf_tpu.core.sampling.FETCH_PRECISION='high').
-FETCH_PRECISION = "highest"
+# Trace-time override of the fetch_sections precision (None = follow the
+# ``precision`` argument, which production threads from
+# ``cfg.parallel.fetch_precision``).  Semantics of the two values:
+#
+# * "highest": 6-pass bf16x6 decomposition — full f32-mantissa passthrough,
+#   bit-identical to a gather for exact 0/1 one-hot rows.  The safe default:
+#   the default TPU matmul precision is plain bf16, which quantizes the
+#   fetched CDF values so u - cdf_g0 can flip sign and NaN the
+#   truncated-Gaussian inverse CDF (observed: training diverged at ~1k
+#   iters on v5e).
+# * "high": 3-pass bf16x3 decomposition, ~2x cheaper on the MXU.  NOT exact
+#   — measured on v5e: the flagship warm-step loss moves by ~1.5e-7
+#   relative, i.e. the fetched values carry a ~2^-16 relative error (three
+#   passes keep ~16 mantissa bits of the split operand, not 24).  The error
+#   is orders of magnitude below the resampler's own stochastic jitter and
+#   the sign-flip hazard is closed by the frac clamp in
+#   sample_pdf_with_mu_sigma; quality gate is the 5k-iter on-chip soak
+#   (PERF.md round-4).
+FETCH_PRECISION = None
 
 
-def fetch_sections(oh, *arrays):
+def fetch_sections(oh, *arrays, precision="highest"):
     """Fetch per-sample values from K section arrays in ONE contraction.
 
     ``oh``: [..., M, S] one-hot; each array: [..., S].  Stacks the arrays
     into [..., S, K] and contracts with the shared one-hot — a single
     [M, S] @ [S, K] batched matmul instead of K separate einsums, which is
     the hot non-matmul op of the train step (PERF.md: convert/reduce tail).
-    Exact: one nonzero per one-hot row (see FETCH_PRECISION).  Returns a
-    tuple of K [..., M] arrays.
+    ``precision`` ("highest" = gather-exact, "high" = ~16-bit, faster; see
+    FETCH_PRECISION above).  Returns a tuple of K [..., M] arrays.
     """
     stacked = jnp.stack(arrays, axis=-1)
+    name = FETCH_PRECISION if FETCH_PRECISION is not None else precision
     prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH}[FETCH_PRECISION]
+            "high": jax.lax.Precision.HIGH}[name]
     out = jnp.einsum("...ms,...sk->...mk", oh, stacked, precision=prec)
     return tuple(out[..., k] for k in range(len(arrays)))
 
@@ -225,7 +233,8 @@ def fetch_sections(oh, *arrays):
 # --------------------------------------------------------------------------
 
 
-def sample_pdf(rng, bins, weights, num_samples, *, pdf_padding, det=True):
+def sample_pdf(rng, bins, weights, num_samples, *, pdf_padding, det=True,
+               fetch_precision="highest"):
     """Inverse-transform resampling of ``num_samples`` fenceposts from the
     histogram (bins [N,S+1], weights [N,S]) with uniform-in-cell placement
     (reference samplers.py:64-121)."""
@@ -249,7 +258,8 @@ def sample_pdf(rng, bins, weights, num_samples, *, pdf_padding, det=True):
     # y[:-1], y[ind+1] with y[1:] (ind <= S-1 after clipping).
     oh = interval_one_hot(u, cdf)
     bins_g0, bins_g1, cdf_g0, cdf_g1 = fetch_sections(
-        oh, bins[..., :-1], bins[..., 1:], cdf[..., :-1], cdf[..., 1:]
+        oh, bins[..., :-1], bins[..., 1:], cdf[..., :-1], cdf[..., 1:],
+        precision=fetch_precision,
     )
 
     denom = cdf_g1 - cdf_g0
@@ -277,6 +287,8 @@ def sample_pdf_with_mu_sigma(
     far,
     pdf_padding,
     det=True,
+    fetch_precision="highest",
+    skip_sort=False,
 ):
     """Resample fenceposts through the per-section truncated-Gaussian inverse
     CDF (reference samplers.py:124-215).
@@ -322,10 +334,17 @@ def sample_pdf_with_mu_sigma(
                 bins[..., :-1], bins[..., 1:],
                 cdf[..., :-1], cdf[..., 1:],
                 part_inside_bins, left_tail, mus, sigmas,
+                precision=fetch_precision,
             )
 
         denom = cdf_g1 - cdf_g0
         frac = jnp.where(denom > 0, (u - cdf_g0) / jnp.where(denom > 0, denom, 1.0), 0.0)
+        # In exact arithmetic u lies inside [cdf_g0, cdf_g1] by construction
+        # of the interval search, so this clamp is the identity under the
+        # "highest" fetch.  Under the "high" fetch the fetched cdf values
+        # carry ~2^-16 relative error, and an unclamped frac < 0 would push
+        # z below left_tail and NaN the inverse CDF (erfinv outside (-1, 1)).
+        frac = jnp.clip(frac, 0.0, 1.0)
         z = jnp.minimum(frac * pib + lt, 0.999)
 
     z = mmath.normal_inverse_cdf(z)
@@ -334,20 +353,22 @@ def sample_pdf_with_mu_sigma(
 
     samples = samples.at[..., 0].set(near)
     samples = samples.at[..., -1].set(far)
-    if SKIP_RESAMPLER_SORT:
+    if SKIP_RESAMPLER_SORT if SKIP_RESAMPLER_SORT is not None else skip_sort:
         return samples
     return jnp.sort(samples, axis=-1)
 
 
-# The reference re-sorts the resampled fenceposts (samplers.py:213), but the
-# inverse-CDF construction already emits them sorted: u is sorted, the
-# interval index is therefore monotone; within a section the map
+# Trace-time override (None = follow the ``skip_sort`` argument, threaded
+# from ``cfg.parallel.skip_resampler_sort``).  The reference re-sorts the
+# resampled fenceposts (samplers.py:213), but the inverse-CDF construction
+# already emits them sorted: u is sorted, the interval index is therefore
+# monotone; within a section the map
 # u -> frac -> z -> Φ⁻¹ -> clip(zσ+μ) -> lerp is non-decreasing, and a
 # section's samples lie inside [section start, section end] so cross-section
 # order follows from the sorted fences; the near/far endpoint overrides are
 # the global min/max.  ``jnp.sort`` is thus the identity here — pure cost
-# (a bitonic network on TPU) kept for defensive parity.  Fuzz-tested
-# (test_samplers::test_resampler_output_already_sorted); flip via
-# benchmarks/ab.py and ship through config once an on-chip A/B confirms
-# bit-identical outputs + a win.
-SKIP_RESAMPLER_SORT = False
+# (a bitonic network on TPU) kept only for defensive parity.  Fuzz-tested
+# (test_samplers::test_resampler_output_already_sorted) and confirmed on
+# chip (warm-step loss bit-identical with the sort skipped, +0.6% rays/s —
+# PERF.md round-4), so skipping ships as the config default.
+SKIP_RESAMPLER_SORT = None

@@ -48,11 +48,12 @@ LANE = 128
 # cotangent) instead of explicitly padding their lane dim to 128.  TPU HBM
 # buffers are tile-padded to 128 lanes regardless, so the explicit pads are
 # pure copies (~0.3 ms/step in the trace digest: copy.978/1021/1024,
-# reshape.4763); Mosaic pads non-128 lane blocks internally.  Module global
-# so benchmarks/ab.py can A/B it.  Default OFF until measured on chip
-# (interpret-mode parity is fully tested; the compiled Mosaic lowering of
-# non-128 lane blocks is not yet benchmarked).
-RAW_LANE_INPUTS = False
+# reshape.4763); Mosaic pads non-128 lane blocks internally.  Measured on
+# chip: +0.8% rays/s with bit-identical loss (PERF.md round-4), so raw
+# inputs ship as the config default (parallel.raw_lane_inputs, threaded as
+# the ``raw_lane`` argument).  This module global is the trace-time
+# override for benchmarks/ab.py (None = follow the argument).
+RAW_LANE_INPUTS = None
 
 
 def _mm(a, w):
@@ -262,6 +263,7 @@ def fused_mlp_forward(
     samples_per_ray: int = 0,
     rays_per_block: int = 32,
     stash: bool = False,
+    raw_lane: bool = False,
 ):
     """Evaluate MipMLP/DepthMipMLP on [N, 96] IPE + dir features.
 
@@ -282,7 +284,7 @@ def fused_mlp_forward(
     )
     dirs_rows = n_pad // samples_per_ray if samples_per_ray else n_pad
 
-    raw = RAW_LANE_INPUTS
+    raw = RAW_LANE_INPUTS if RAW_LANE_INPUTS is not None else raw_lane
     in_w = (ipe.shape[1], dirs.shape[1]) if raw else (LANE, LANE)
     ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad,
                     cols=None if raw else LANE)

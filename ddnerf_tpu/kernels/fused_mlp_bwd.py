@@ -262,6 +262,7 @@ def fused_mlp_backward(
     samples_per_ray: int = 0,
     rays_per_block: int = 32,
     acts: jax.Array | None = None,
+    raw_lane: bool = False,
 ) -> dict:
     """Parameter gradients of :func:`fused_mlp_forward` for cotangent ``g``.
 
@@ -285,7 +286,7 @@ def fused_mlp_backward(
 
     from ddnerf_tpu.kernels.fused_mlp import RAW_LANE_INPUTS
 
-    raw = RAW_LANE_INPUTS
+    raw = RAW_LANE_INPUTS if RAW_LANE_INPUTS is not None else raw_lane
     cols = None if raw else LANE
     ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad, cols=cols)
     dirs_p = _pad_to(dirs.astype(compute_dtype), rows=dirs_rows, cols=cols)
@@ -406,11 +407,11 @@ def _zeros(ndim, *_idx):
     return (0,) * ndim
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def fused_mlp_train_apply(
     params, ipe, dirs, depth_head: bool, interpret: bool = False,
     compute_dtype=jnp.bfloat16, samples_per_ray: int = 0,
-    stash: bool = False, block_rows: int = 0,
+    stash: bool = False, block_rows: int = 0, raw_lane: bool = False,
 ):
     """Fused Pallas forward + fused Pallas backward.
 
@@ -429,16 +430,17 @@ def fused_mlp_train_apply(
     return fused_mlp_forward(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
-        block_rows=block_rows or BWD_BLOCK_ROWS,
+        block_rows=block_rows or BWD_BLOCK_ROWS, raw_lane=raw_lane,
     )
 
 
 def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype,
-         samples_per_ray, stash, block_rows):
+         samples_per_ray, stash, block_rows, raw_lane):
     out = fused_mlp_forward(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
         stash=stash, block_rows=block_rows or BWD_BLOCK_ROWS,
+        raw_lane=raw_lane,
     )
     if stash:
         out, acts = out
@@ -447,12 +449,12 @@ def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype,
 
 
 def _bwd(depth_head, interpret, compute_dtype, samples_per_ray, stash,
-         block_rows, res, g):
+         block_rows, raw_lane, res, g):
     params, ipe, dirs, acts = res
     grads = fused_mlp_backward(
         params, ipe, dirs, g, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
-        acts=acts, block_rows=block_rows or None,
+        acts=acts, block_rows=block_rows or None, raw_lane=raw_lane,
     )
     return grads, jnp.zeros_like(ipe), jnp.zeros_like(dirs)
 

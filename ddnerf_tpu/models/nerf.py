@@ -241,7 +241,7 @@ class NerfPipeline:
             def f(pp):
                 out = fk.fused_mlp_train_apply(
                     pp, ipe, dirs, depth, self._pallas_interpret, cdt, spr,
-                    stash, par.bwd_block_rows,
+                    stash, par.bwd_block_rows, par.raw_lane_inputs,
                 )
                 return jnp.sum(out.astype(jnp.float32))
 
@@ -344,6 +344,7 @@ class NerfPipeline:
                 spr,
                 _ov(_KERNEL_STASH_ACTS, self.cfg.parallel.kernel_stash_acts),
                 self.cfg.parallel.bwd_block_rows,
+                self.cfg.parallel.raw_lane_inputs,
             )
             return flat.reshape(n, s, out_dim)
         if self._use_pallas(mode):
@@ -373,6 +374,7 @@ class NerfPipeline:
                     compute_dtype=cdt,
                     interpret=self._pallas_interpret,
                     samples_per_ray=s,
+                    raw_lane=self.cfg.parallel.raw_lane_inputs,
                 )
                 return flat.reshape(n, s, out_dim)
             # v2 kernel: IPE + viewdir PE + full MLP in VMEM; raw means/covs
@@ -468,6 +470,7 @@ class NerfPipeline:
                     mc.num_fine + 1,
                     pdf_padding=sched.pdf_padding,
                     det=not mc.perturb,
+                    fetch_precision=cfg.parallel.fetch_precision,
                 )
                 t_vals = jax.lax.stop_gradient(t_vals)
 
@@ -552,6 +555,8 @@ class NerfPipeline:
             far=cfg.dataset.far,
             pdf_padding=sched.pdf_padding,
             det=not mc.perturb,
+            fetch_precision=cfg.parallel.fetch_precision,
+            skip_sort=cfg.parallel.skip_resampler_sort,
         )
         # The reference wraps samples in nn.Parameter, which detaches them
         # from the sampling graph (samplers.py:215) — stop_gradient is the
@@ -600,6 +605,7 @@ class NerfPipeline:
             sg(part_inside),
             filter_empty_rays=self._filter_empty,
             variant=tp.dp_loss_variant,
+            fetch_precision=cfg.parallel.fetch_precision,
         ) * (t1.shape[-1] - 1)
         dp_loss = dp + mus_reg + sig_reg
 

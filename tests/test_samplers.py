@@ -477,8 +477,10 @@ def test_interval_one_hot_matches_clipped_index_fuzz():
 
 
 def test_fetch_sections_precision_switch():
-    """FETCH_PRECISION='high' must stay gather-exact (the bf16x3 claim is
-    validated on-chip; this pins the code path and CPU exactness)."""
+    """Pin the FETCH_PRECISION='high' code path (CPU-exact: precision hints
+    are no-ops off-TPU).  On chip HIGH is NOT gather-exact — the 3-pass
+    decomposition keeps ~16 mantissa bits (measured ~1.5e-7 warm-loss shift,
+    PERF.md round-4) — which is why sample_pdf_with_mu_sigma clamps frac."""
     from ddnerf_tpu.core import sampling as S
 
     rng = np.random.default_rng(7)
@@ -495,6 +497,49 @@ def test_fetch_sections_precision_switch():
     finally:
         S.FETCH_PRECISION = prev
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mu_sigma_resampler_survives_inexact_fetch():
+    """The frac clamp must keep the inverse CDF in-domain when the fetched
+    cdf values carry the HIGH-precision fetch's ~2^-16 relative error
+    (simulated by perturbing fetch_sections outputs), instead of NaN-ing
+    through erfinv outside (-1, 1)."""
+    from ddnerf_tpu.core import sampling as S
+    from ddnerf_tpu.core.math import truncated_gaussian_tails
+
+    rng = np.random.default_rng(3)
+    n, s, m = 8, 16, 33
+    bins = np.sort(rng.uniform(2.0, 6.0, (n, s + 1)).astype(np.float32), -1)
+    bins[:, 0], bins[:, -1] = 2.0, 6.0
+    w = (rng.uniform(0, 1, (n, s)) ** 5).astype(np.float32)
+    mus = jnp.asarray(rng.uniform(0, 1, (n, s)).astype(np.float32))
+    sigmas = jnp.asarray(rng.uniform(0.001, 1.0, (n, s)).astype(np.float32))
+    lt, pib = truncated_gaussian_tails(mus, sigmas)
+
+    real_fetch = S.fetch_sections
+
+    def noisy_fetch(oh, *arrays, precision="highest"):
+        outs = list(real_fetch(oh, *arrays, precision=precision))
+        # Push the fetched cdf_g0 (index 2 in the resampler's fetch) above
+        # u for every sample near its interval's start — the exact hazard
+        # observed with plain bf16 on v5e.  The magnitude is exaggerated
+        # vs HIGH's real ~2^-16 error so boundary hits are certain; the
+        # frac clamp is magnitude-independent.
+        outs[2] = outs[2] + 0.02
+        return tuple(outs)
+
+    S.fetch_sections = noisy_fetch
+    try:
+        for det in (True, False):
+            out = np.asarray(S.sample_pdf_with_mu_sigma(
+                jax.random.PRNGKey(0), jnp.asarray(bins), jnp.asarray(w),
+                mus, sigmas, pib, lt, m,
+                near=2.0, far=6.0, pdf_padding=jnp.asarray(True), det=det,
+            ))
+            assert np.isfinite(out).all()
+            assert (out >= 2.0).all() and (out <= 6.0).all()
+    finally:
+        S.fetch_sections = real_fetch
 
 
 def test_resampler_output_already_sorted():
