@@ -135,6 +135,7 @@ def main():
     from ddnerf_tpu.models.nerf import NerfPipeline
     from ddnerf_tpu.train.state import create_train_state
     from ddnerf_tpu.train.step import make_train_step_from_store
+    from ddnerf_tpu.utils.compile import step_compiler_options
 
     cfg = Config.from_dict(
         {
@@ -184,10 +185,12 @@ def main():
     if scan_k > 1:
         from ddnerf_tpu.train.step import make_scan_train_step
 
-        step_fn = jax.jit(make_scan_train_step(cfg, pipe, scan_k), donate_argnums=0)
+        step_fn = jax.jit(make_scan_train_step(cfg, pipe, scan_k), donate_argnums=0,
+                          compiler_options=step_compiler_options(cfg))
         rays_per_call = scan_k * cfg.nerf.train.num_random_rays
     else:
-        step_fn = jax.jit(make_train_step_from_store(cfg, pipe), donate_argnums=0)
+        step_fn = jax.jit(make_train_step_from_store(cfg, pipe), donate_argnums=0,
+                          compiler_options=step_compiler_options(cfg))
         rays_per_call = cfg.nerf.train.num_random_rays
 
     # Per-step FLOPs from XLA's own cost model (AOT-lowered BEFORE the first
@@ -198,7 +201,8 @@ def main():
     # under-report by scan_k.
     flops_per_call = None
     try:
-        single = jax.jit(make_train_step_from_store(cfg, pipe))
+        single = jax.jit(make_train_step_from_store(cfg, pipe),
+                         compiler_options=step_compiler_options(cfg))
         ca = single.lower(state, store).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]

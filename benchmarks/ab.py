@@ -118,7 +118,9 @@ def main():
         vcfg, undo = apply_flags(spec, cfg)
         pipe = NerfPipeline(vcfg)
         state = create_train_state(vcfg, pipe, jax.random.PRNGKey(0))
-        fn = jax.jit(make_scan_train_step(vcfg, pipe, args.scan))
+        from ddnerf_tpu.utils.compile import step_compiler_options
+        fn = jax.jit(make_scan_train_step(vcfg, pipe, args.scan),
+                     compiler_options=step_compiler_options(vcfg))
         _, metrics = fn(state, store)  # compile + warm
         print(name, "warm loss", float(metrics["loss"]), flush=True)
         variants[name] = (fn, state)

@@ -46,6 +46,7 @@ def main():
     from ddnerf_tpu.data.assembly import get_datasets
     from ddnerf_tpu.models.nerf import NerfPipeline
     from ddnerf_tpu.train.state import create_train_state
+    from ddnerf_tpu.utils.compile import step_compiler_options
     from ddnerf_tpu.train.step import (
         make_scan_train_step,
         make_train_step_from_store,
@@ -85,10 +86,12 @@ def main():
 
     if args.scan > 1:
         step_fn = jax.jit(make_scan_train_step(cfg, pipe, args.scan),
-                          donate_argnums=0)
+                          donate_argnums=0,
+                          compiler_options=step_compiler_options(cfg))
     else:
         step_fn = jax.jit(make_train_step_from_store(cfg, pipe),
-                          donate_argnums=0)
+                          donate_argnums=0,
+                          compiler_options=step_compiler_options(cfg))
 
     state, metrics = step_fn(state, store)
     float(metrics["loss"])  # warm

@@ -220,7 +220,19 @@ class ParallelConfig:
     # plan); 0 = kernel default (fused_mlp_bwd.BWD_BLOCK_ROWS).  Applies to
     # the per-SAMPLE dirs layout only: with kernel_per_ray_dirs the block
     # is rays_per_block (32) whole rays regardless (fused_mlp.plan_blocks).
-    bwd_block_rows: int = 0
+    # 2048 needs scoped_vmem_limit_kib above XLA's 16 MiB default (the
+    # forward stash kernel's scratch is 2 KiB over it); measured +4.5%
+    # rays/s vs 1024 on v5e with bit-identical loss (PERF.md round-4).
+    # If the probe-compile rejects it (older toolchain/generation), the
+    # pipeline downgrades to the kernel-default 1024 with a warning before
+    # falling back to the XLA step (models/nerf._fused_train_available).
+    bwd_block_rows: int = 2048
+    # Scoped-VMEM cap override (KiB) forwarded to XLA:TPU per-compile via
+    # jax.jit compiler_options (xla_tpu_scoped_vmem_limit_kib); 0 = XLA
+    # default (16 MiB).  v5e has 128 MiB of VMEM; 32 MiB admits the
+    # 2048-row fused-kernel blocks with headroom.  TPU-only (ignored on
+    # CPU/GPU — utils/compile.step_compiler_options).
+    scoped_vmem_limit_kib: int = 32768
     # Which kernel backs the "render"/"all" fused policies: "ipe" =
     # fused_ipe_mlp (IPE in-kernel), "mlp" = fused_mlp with XLA IPE.
     render_kernel_variant: str = "ipe"

@@ -159,8 +159,11 @@ class NerfPipeline:
         self._pallas_interpret_cached: bool | None = None
 
         # Probe-compile result of the fused train kernels (None = not yet
-        # probed; see _fused_train_available).
+        # probed; see _fused_train_available).  _bwd_rows_downgraded is set
+        # when the configured block size fails to compile but the kernel
+        # default (1024) succeeds — the middle rung of the fallback ladder.
         self._fused_train_ok: bool | None = None
+        self._bwd_rows_downgraded: int | None = None
 
     @property
     def _pallas_interpret(self) -> bool:
@@ -180,72 +183,136 @@ class NerfPipeline:
         build must never be *less* runnable than its slow path (cf. the
         reference's unconditional CPU fallback, train_model.py:54-57)."""
         if self._fused_train_ok is None:
-            try:
-                self._probe_fused_train()
-                self._fused_train_ok = True
-            except Exception as e:  # Mosaic/compile errors are not typed
+            import warnings
+
+            from ddnerf_tpu.kernels.fused_mlp_bwd import BWD_BLOCK_ROWS
+
+            def _reraise_if_transient(e: Exception) -> str:
                 # TRANSIENT backend trouble (busy relay, lost connection)
                 # must not be cached as "kernels don't compile" — that would
                 # silently lock the whole run onto the ~80%-speed XLA path.
                 # Re-raise those; the caller's retry machinery (bench
                 # supervisor, operator rerun) owns them.
                 msg = f"{type(e).__name__}: {e}"
-                transient = any(
+                if any(
                     m in msg
                     for m in ("UNAVAILABLE", "DEADLINE_EXCEEDED",
                               "Unable to initialize backend",
                               "Socket closed", "Connection reset")
-                )
-                if transient:
-                    raise
-                import warnings
+                ):
+                    raise e
+                return msg
 
+            try:
+                self._probe_fused_train()
+                self._fused_train_ok = True
+                return True
+            except Exception as e:  # Mosaic/compile errors are not typed
+                msg = _reraise_if_transient(e)
+            # Middle rung: the configured block size failed — retry at the
+            # kernel default (1024, the size every supported toolchain is
+            # known to compile) before abandoning the kernels entirely.
+            rows = self.cfg.parallel.bwd_block_rows
+            if rows and rows != BWD_BLOCK_ROWS:
                 warnings.warn(
-                    "fused Pallas train kernels unavailable on this backend "
-                    f"({msg[:300]}); falling back to the XLA train step "
-                    "(pallas_mlp: off semantics, ~80% of the fused speed)"
+                    f"fused train kernels rejected bwd_block_rows={rows} "
+                    f"({msg[:300]}); retrying at the kernel default "
+                    f"{BWD_BLOCK_ROWS}"
                 )
-                self._fused_train_ok = False
+                try:
+                    self._bwd_rows_downgraded = BWD_BLOCK_ROWS
+                    self._probe_fused_train()
+                    self._fused_train_ok = True
+                    return True
+                except Exception as e2:
+                    msg = _reraise_if_transient(e2)
+                    self._bwd_rows_downgraded = None
+            warnings.warn(
+                "fused Pallas train kernels unavailable on this backend "
+                f"({msg[:300]}); falling back to the XLA train step "
+                "(pallas_mlp: off semantics, ~80% of the fused speed)"
+            )
+            self._fused_train_ok = False
         return self._fused_train_ok
+
+    def _train_block_rows(self) -> int:
+        """The fused train kernels' row-block size actually in effect:
+        the config value unless the probe ladder downgraded it."""
+        if self._bwd_rows_downgraded is not None:
+            return self._bwd_rows_downgraded
+        return self.cfg.parallel.bwd_block_rows
 
     def _probe_fused_train(self) -> None:
         """One tiny fwd+bwd through ``fused_mlp_train_apply`` per distinct
         network shape, with the exact static kernel config production will
         use (stash / per-ray dirs / block rows / compute dtype) — Mosaic
         compilation depends only on those statics, not the row count, so
-        this one-block probe is representative."""
-        from ddnerf_tpu.kernels import fused_mlp_bwd as fk
+        this one-block probe is representative.  Jitted with the step's
+        ``compiler_options`` (the raised scoped-VMEM cap is part of what
+        makes the 2048-row block compile, so probing without it would
+        reject a config production accepts)."""
+        # The probe is usually reached while the OUTER train step is being
+        # traced (_run_network's kernel-policy branch): there, a plain jit
+        # would be nested (rejects compiler_options) and even input
+        # creation (jnp.zeros) yields tracers of the ambient trace.  A
+        # fresh thread has a clean trace state, so everything below —
+        # inputs, jit, execution — is genuinely top-level and compiles
+        # exactly as production will (same statics + compiler options).
+        import threading
 
-        par = self.cfg.parallel
-        cdt = _dtype_of(self.cfg)
-        per_ray = _ov(_KERNEL_PER_RAY_DIRS, par.kernel_per_ray_dirs)
-        stash = _ov(_KERNEL_STASH_ACTS, par.kernel_stash_acts)
-        params = self.init_params(jax.random.PRNGKey(0))
-        tp = self.cfg.nerf.train
-        nets = [("coarse", isinstance(self.coarse, DepthMipMLP),
-                 tp.num_coarse + 1)]
-        if not self.shared_net:
-            nets.append(("fine", False, tp.num_fine + 1))
-        n = 32  # one dirs block of rays; rows pad to one kernel block
-        for key, depth, s in nets:
-            # s = the PRODUCTION samples-per-ray: in per-ray mode the block
-            # shape is rays_per_block * s, so probing any other s would
-            # compile a different kernel than training will.
-            p = params[key]
-            if per_ray:
-                dirs, spr = jnp.zeros((n, 27), cdt), s
-            else:
-                dirs, spr = jnp.zeros((n * s, 27), cdt), 0
-            ipe = jnp.zeros((n * s, 96), cdt)
+        box: list[BaseException] = []
 
-            def f(pp):
-                out = fk.fused_mlp_train_apply(
-                    pp, ipe, dirs, depth, self._pallas_interpret, cdt, spr,
-                    stash, par.bwd_block_rows, par.raw_lane_inputs,
+        def run_probe():
+            from ddnerf_tpu.kernels import fused_mlp_bwd as fk
+            from ddnerf_tpu.utils.compile import step_compiler_options
+
+            par = self.cfg.parallel
+            cdt = _dtype_of(self.cfg)
+            per_ray = _ov(_KERNEL_PER_RAY_DIRS, par.kernel_per_ray_dirs)
+            stash = _ov(_KERNEL_STASH_ACTS, par.kernel_stash_acts)
+            params = self.init_params(jax.random.PRNGKey(0))
+            tp = self.cfg.nerf.train
+            nets = [("coarse", isinstance(self.coarse, DepthMipMLP),
+                     tp.num_coarse + 1)]
+            if not self.shared_net:
+                nets.append(("fine", False, tp.num_fine + 1))
+            n = 32  # one dirs block of rays; rows pad to one kernel block
+            for key, depth, s in nets:
+                # s = the PRODUCTION samples-per-ray: in per-ray mode the
+                # block shape is rays_per_block * s, so probing any other s
+                # would compile a different kernel than training will.
+                p = params[key]
+                if per_ray:
+                    dirs, spr = jnp.zeros((n, 27), cdt), s
+                else:
+                    dirs, spr = jnp.zeros((n * s, 27), cdt), 0
+                ipe = jnp.zeros((n * s, 96), cdt)
+
+                def f(pp, ipe=ipe, dirs=dirs, depth=depth, spr=spr):
+                    out = fk.fused_mlp_train_apply(
+                        pp, ipe, dirs, depth, self._pallas_interpret, cdt,
+                        spr, stash, self._train_block_rows(),
+                        par.raw_lane_inputs,
+                    )
+                    return jnp.sum(out.astype(jnp.float32))
+
+                probe = jax.jit(
+                    jax.grad(f),
+                    compiler_options=step_compiler_options(self.cfg),
                 )
-                return jnp.sum(out.astype(jnp.float32))
+                jax.block_until_ready(probe(p))
 
-            jax.block_until_ready(jax.grad(f)(p))
+        def target():
+            try:
+                run_probe()
+            except BaseException as e:  # reraised in the caller below
+                box.append(e)
+
+        t = threading.Thread(target=target, name="fused-kernel-probe")
+        t.start()
+        t.join()
+        if box:
+            raise box[0]
 
     # ------------------------------------------------------------------ init
 
@@ -343,7 +410,7 @@ class NerfPipeline:
                 cdt,
                 spr,
                 _ov(_KERNEL_STASH_ACTS, self.cfg.parallel.kernel_stash_acts),
-                self.cfg.parallel.bwd_block_rows,
+                self._train_block_rows(),
                 self.cfg.parallel.raw_lane_inputs,
             )
             return flat.reshape(n, s, out_dim)

@@ -28,6 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ddnerf_tpu.config import Config
+from ddnerf_tpu.utils.compile import step_compiler_options
 
 
 def make_mesh(num_devices: int = 0, axis_name: str = "data", devices=None) -> Mesh:
@@ -99,6 +100,7 @@ def make_sharded_train_step(cfg: Config, pipeline, mesh: Mesh):
         in_shardings=(repl, batch_sharding),
         out_shardings=(repl, repl),
         donate_argnums=0 if cfg.parallel.donate_state else (),
+        compiler_options=step_compiler_options(cfg),
     )
 
 
@@ -221,6 +223,7 @@ def make_sharded_store_train_step(cfg: Config, pipeline, mesh: Mesh,
         in_shardings=(repl, store_sharding(mesh)),
         out_shardings=(repl, repl),
         donate_argnums=0 if cfg.parallel.donate_state else (),
+        compiler_options=step_compiler_options(cfg),
     )
 
 

@@ -33,6 +33,7 @@ from ddnerf_tpu.render.renderer import DEFAULT_KEYS, ImageRenderer
 from ddnerf_tpu.train import checkpoint as ckpt
 from ddnerf_tpu.train.state import create_train_state
 from ddnerf_tpu.train.step import make_train_step, make_train_step_from_store, schedule_values
+from ddnerf_tpu.utils.compile import step_compiler_options
 from ddnerf_tpu.viz.documentation import Documenter
 
 
@@ -113,6 +114,7 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
             step_fn = jax.jit(
                 make_train_step_from_store(cfg, pipeline),
                 donate_argnums=0 if cfg.parallel.donate_state else (),
+                compiler_options=step_compiler_options(cfg),
             )
         del host_store
     else:
@@ -126,6 +128,7 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
             batch_step = jax.jit(
                 make_train_step(cfg, pipeline),
                 donate_argnums=0 if cfg.parallel.donate_state else (),
+                compiler_options=step_compiler_options(cfg),
             )
 
         def sample_upload():
@@ -259,6 +262,7 @@ def train(cfg: Config, load_checkpoint: str = "", max_iters: Optional[int] = Non
                 return jax.jit(
                     make_stacked_train_step_from_store(cfg, pipeline, k),
                     donate_argnums=0 if cfg.parallel.donate_state else (),
+                    compiler_options=step_compiler_options(cfg),
                 )
 
         blocks = {}
