@@ -298,11 +298,15 @@ class Config:
 
         def build(dc_cls, src: dict, **extra):
             kwargs = dict(extra)
-            names = {f.name for f in fields(dc_cls)}
+            dc_fields = {f.name: f for f in fields(dc_cls)}
             for k, v in (src or {}).items():
-                if k in names and not isinstance(v, dict):
+                if k in dc_fields and not isinstance(v, dict):
                     if isinstance(v, list):
                         v = tuple(v)
+                    # YAML 1.1 reads bare off/on/yes/no as booleans; a str
+                    # field (e.g. ``pallas_mlp: off``) wants the word back.
+                    if isinstance(v, bool) and dc_fields[k].type in (str, "str"):
+                        v = {True: "on", False: "off"}[v]
                     kwargs[k] = v
             return dc_cls(**kwargs)
 
@@ -374,6 +378,12 @@ class Config:
             leaf = key.split(".")[-1]
             old = getattr(node, leaf)
             val = yaml.safe_load(raw) if isinstance(raw, str) else raw
+            if (isinstance(old, str) and isinstance(raw, str)
+                    and not isinstance(val, str)):
+                # YAML 1.1 coerces bare off/on/yes/no/123 — but the field
+                # wants a string (e.g. ``parallel.pallas_mlp off``), so the
+                # raw CLI token wins.
+                val = raw
             if old is not None and val is not None:
                 if isinstance(old, bool):
                     if not isinstance(val, bool):

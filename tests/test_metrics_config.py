@@ -237,6 +237,25 @@ def test_merge_from_list_int_to_float_coercion():
     assert isinstance(out.optimizer.lr_init, float)
 
 
+def test_yaml11_off_keyword_reaches_str_fields():
+    """``parallel.pallas_mlp off`` must mean the string "off", not False.
+
+    YAML 1.1 (pyyaml's safe_load) coerces bare off/on/yes/no to booleans,
+    which broke the documented kernel escape hatch both on the CLI and in
+    a config file (the synthetic_smoke.yml docstring advertises
+    ``pallas_mlp: off``).
+    """
+    cfg = Config()
+    out = cfg.merge_from_list(["parallel.pallas_mlp", "off"])
+    assert out.parallel.pallas_mlp == "off"
+
+    d = Config().to_dict()
+    d["parallel"]["pallas_mlp"] = False  # what `pallas_mlp: off` loads as
+    assert Config.from_dict(d).parallel.pallas_mlp == "off"
+    d["parallel"]["pallas_mlp"] = True
+    assert Config.from_dict(d).parallel.pallas_mlp == "on"
+
+
 # ---------------------------------------------------------------------------
 # Numerics/perf switches promoted into config (round-4): the snapshot must
 # round-trip every switch, the pipeline must honor it, and the module
