@@ -56,7 +56,16 @@ def _wfa_bwd(res, gw):
         [gww[..., 1:], jnp.zeros_like(gww[..., :1])], axis=-1
     )
     suffix = jnp.cumsum(shifted[..., ::-1], axis=-1)[..., ::-1]
-    ga = gw * trans - suffix / (1.0 - alpha + 1e-10)
+    # The divisor must NOT be written bare as ``1 - alpha + 1e-10``: under
+    # --xla_allow_excess_precision XLA:TPU may reassociate it to
+    # ``(1 + 1e-10) - alpha`` == exact 0 at a saturated alpha == 1.0 (exp
+    # underflow), turning the guarded division into 0/0 = NaN in the jitted
+    # backward only (eager and autodiff are unaffected).  Observed killing
+    # a 5k-iter run at the first saturated fine sample; the maximum() is
+    # the identity whenever the guard survives compilation, and restores
+    # the intended 1e-10 when it does not.
+    denom = jnp.maximum(1.0 - alpha + 1e-10, 1e-10)
+    ga = gw * trans - suffix / denom
     return (ga,)
 
 

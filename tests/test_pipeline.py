@@ -238,6 +238,38 @@ def test_weights_from_alpha_custom_vjp():
     np.testing.assert_allclose(g_ana, g_auto, rtol=2e-5, atol=2e-5)
 
 
+def test_weights_from_alpha_custom_vjp_jitted_saturation():
+    """The analytic adjoint must stay finite under jax.jit at an INTERIOR
+    exactly-saturated alpha (== 1.0 from exp underflow).
+
+    Regression: under --xla_allow_excess_precision (forced on the TPU
+    terminal), XLA reassociated the bare divisor ``1 - alpha + 1e-10`` to
+    ``(1 + 1e-10) - alpha`` == exact 0 at alpha == 1, so the jitted
+    backward produced 0/0 = NaN at the first saturated fine sample and
+    killed a 5k-iter training run (eager grad and autodiff were clean,
+    which is why the eager test above never caught it).  The divisor is
+    now clamped with maximum(., 1e-10) — the identity whenever the guard
+    survives compilation."""
+    from ddnerf_tpu.core.rendering import weights_from_alpha
+
+    rng = np.random.RandomState(1)
+    alpha = jnp.asarray(
+        np.clip(rng.rand(8, 32).astype(np.float32), 1e-6, 1.0 - 1e-6)
+    )
+    # Interior saturation with live samples after it — the observed
+    # on-chip failure row (ray 279, sample 29 of 32).
+    alpha = alpha.at[3, 29].set(1.0).at[3, 30].set(2e-6).at[3, 31].set(0.0)
+
+    gw = jnp.asarray(rng.randn(8, 32).astype(np.float32))
+    f_auto = lambda a: jnp.vdot(weights_from_alpha(a, analytic_vjp=False), gw)
+    f_ana = lambda a: jnp.vdot(weights_from_alpha(a, analytic_vjp=True), gw)
+
+    g_ana = np.asarray(jax.jit(jax.grad(f_ana))(alpha))
+    g_auto = np.asarray(jax.jit(jax.grad(f_auto))(alpha))
+    assert np.isfinite(g_ana).all()
+    np.testing.assert_allclose(g_ana, g_auto, rtol=2e-5, atol=2e-5)
+
+
 def test_composite_custom_vjp_full_step_parity():
     """Flipping parallel.composite_custom_vjp must leave the full DDNeRF
     train gradients f32-tight (it only changes the adjoint's op order)."""
