@@ -253,9 +253,10 @@ class ParallelConfig:
     # loss (core/sampling.fetch_sections): "highest" = gather-exact 6-pass
     # decomposition; "high" = 3-pass, ~2x cheaper on the MXU but ~2^-16
     # relative error on the fetched values (guarded by the frac clamp in
-    # sample_pdf_with_mu_sigma).  "high" measured +1.3% rays/s on v5e;
-    # default flips only after the 5k-iter quality soak (PERF.md round-4).
-    fetch_precision: str = "highest"
+    # sample_pdf_with_mu_sigma).  "high" measured +1.3% rays/s on v5e and
+    # passed the 5k-iter quality soak (0 NaN, val PSNR identical to
+    # "highest" at 29.0 dB — PERF.md round-4 fourth pass).
+    fetch_precision: str = "high"
     # Skip the defensive re-sort of the truncated-Gaussian resampler output
     # (already sorted by construction — see core/sampling module comment;
     # fuzz-tested, and confirmed bit-identical on chip).  +0.6% rays/s.
