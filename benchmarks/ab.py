@@ -58,7 +58,12 @@ def flagship_cfg():
                 "far": 6.0,
                 "single_image_mode": True,
             },
-            "parallel": {"compute_dtype": "bfloat16"},
+            # pallas_mlp="train" = the PRODUCTION path (all shipped configs
+            # and bench.py).  A/B deltas measured on the XLA path do not
+            # transfer: the non-kernel tail is a different fraction of the
+            # step there.  Use parallel.pallas_mlp=off in a variant spec to
+            # measure the XLA path deliberately.
+            "parallel": {"compute_dtype": "bfloat16", "pallas_mlp": "train"},
         }
     ).resolved()
 

@@ -9,6 +9,12 @@ Run:
   python benchmarks/ab_render.py --variant base "" \
       --variant noremat "ddnerf_tpu.models.nerf._REMAT_IPE=False" \
       [--size 800] [--rounds 4]
+
+NOTE: the base config leaves ``parallel.pallas_mlp`` unset (off), which IS
+the production render path — the shipped ``pallas_mlp: train`` policy uses
+the fused kernels for training only and renders via XLA.  To A/B a fused
+render kernel, the variant must enable the policy too, e.g.
+  --variant mlpvar "cfg.parallel.pallas_mlp='render',cfg.parallel.render_kernel_variant='mlp'"
 """
 
 import argparse

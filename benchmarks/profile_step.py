@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--flags", default="",
                     help="comma-separated MODULE.FLAG=VALUE trace-time "
                          "switches (same syntax as benchmarks/ab.py)")
+    ap.add_argument("--set", nargs="*", default=[],
+                    help="config overrides as 'dot.path value' pairs, e.g. "
+                         "--set parallel.pallas_mlp off")
     args = ap.parse_args()
 
     if args.flags:
@@ -75,9 +78,13 @@ def main():
                 "far": 6.0,
                 "single_image_mode": True,
             },
-            "parallel": {"compute_dtype": "bfloat16"},
+            # Production path (all shipped configs and bench.py); profile
+            # the XLA path deliberately via --set parallel.pallas_mlp=off.
+            "parallel": {"compute_dtype": "bfloat16", "pallas_mlp": "train"},
         }
     ).resolved()
+    for k, v in zip(args.set[::2], args.set[1::2]):
+        cfg = cfg.merge_from_list([k, v])
 
     train_ds, _, cfg = get_datasets(cfg)
     pipe = NerfPipeline(cfg)
