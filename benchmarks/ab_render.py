@@ -10,10 +10,11 @@ Run:
       --variant noremat "ddnerf_tpu.models.nerf._REMAT_IPE=False" \
       [--size 800] [--rounds 4]
 
-NOTE: the base config leaves ``parallel.pallas_mlp`` unset (off), which IS
-the production render path — the shipped ``pallas_mlp: train`` policy uses
-the fused kernels for training only and renders via XLA.  To A/B a fused
-render kernel, the variant must enable the policy too, e.g.
+NOTE: the base config leaves ``parallel.pallas_mlp`` unset (off) = the pure
+XLA render path.  The shipped production policy is ``pallas_mlp: auto``
+(fused forward kernel, variant "mlp", on the whole-image paths — measured
++21.9% median over XLA at 800x800 on v5e, PERF.md round-4 sixth pass); A/B
+it against XLA with
   --variant mlpvar "cfg.parallel.pallas_mlp='render',cfg.parallel.render_kernel_variant='mlp'"
 """
 

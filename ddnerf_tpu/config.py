@@ -171,13 +171,18 @@ class ParallelConfig:
     num_devices: int = 0  # 0 => use all available devices
     # precision policy for the MLP evaluation ("bfloat16" rides the MXU at 2x).
     compute_dtype: str = "float32"
-    # Fused Pallas MLP kernel: "off" | "render" | "all" | "train".
-    # "render"/"all" use the forward kernels (kernels/fused_mlp.py,
-    # fused_ipe_mlp.py) — measured a net loss vs XLA's end-to-end fusion
-    # after the one-hot gather rewrite (PERF.md).  "train" uses the fused
-    # *backward* kernel for training steps only (kernels/fused_mlp_bwd.py):
-    # the per-network backward runs block-resident in VMEM, +25% on the
-    # isolated network fwd+bwd on v5e (see PERF.md round-3).
+    # Fused Pallas MLP kernel: "off" | "render" | "train" | "auto" | "all".
+    # "train" = the fused *backward* kernel for training steps only
+    # (kernels/fused_mlp_bwd.py: the per-network backward runs
+    # block-resident in VMEM, +25% on the isolated network fwd+bwd on v5e,
+    # PERF.md round-3).  "render" = the forward kernel (selected by
+    # render_kernel_variant) on the whole-image validation/render paths,
+    # real hardware only.  "auto" = both — the shipped default: fused
+    # backward for training AND the "mlp" forward variant for rendering
+    # (+21.9% on the 800x800 image A/B, PERF.md round-4 sixth pass).  Each
+    # direction probe-compiles once and degrades to XLA with a warning if
+    # Mosaic rejects it.  "all" = forward kernels in every mode including
+    # interpret (a correctness-testing policy, not a fast path).
     pallas_mlp: str = "off"
     # legacy bool alias for pallas_mlp ("all" when True)
     use_pallas_mlp: bool = False
@@ -233,9 +238,13 @@ class ParallelConfig:
     # 2048-row fused-kernel blocks with headroom.  TPU-only (ignored on
     # CPU/GPU — utils/compile.step_compiler_options).
     scoped_vmem_limit_kib: int = 32768
-    # Which kernel backs the "render"/"all" fused policies: "ipe" =
-    # fused_ipe_mlp (IPE in-kernel), "mlp" = fused_mlp with XLA IPE.
-    render_kernel_variant: str = "ipe"
+    # Which kernel backs the "render"/"auto"/"all" fused policies: "mlp" =
+    # fused_mlp with the IPE in XLA (the train kernel's integration recipe
+    # applied forward-only; +21.9% median over the XLA render path on the
+    # 800x800 whole-image A/B, v5e — PERF.md round-4 sixth pass), "ipe" =
+    # fused_ipe_mlp with the IPE in-kernel (measured a net loss vs XLA,
+    # kept as the A/B counterfactual).
+    render_kernel_variant: str = "mlp"
     # relu saves its OUTPUT (bf16) as the VJP residual instead of the
     # bit-packed predicate mask (models/mlp.py rationale + measurements).
     relu_save_output: bool = True

@@ -164,6 +164,9 @@ class NerfPipeline:
         # default (1024) succeeds — the middle rung of the fallback ladder.
         self._fused_train_ok: bool | None = None
         self._bwd_rows_downgraded: int | None = None
+        # Same idea for the forward-only render kernel ("render"/"auto"
+        # policies; see _fused_render_available).
+        self._fused_render_ok: bool | None = None
 
     @property
     def _pallas_interpret(self) -> bool:
@@ -234,6 +237,104 @@ class NerfPipeline:
             )
             self._fused_train_ok = False
         return self._fused_train_ok
+
+    def _fused_render_available(self) -> bool:
+        """Probe-compile the forward-only render kernel once (the selected
+        ``render_kernel_variant``, production statics) and cache the
+        outcome.  Mirrors :meth:`_fused_train_available`: Mosaic rejection
+        warns and falls back to the XLA render path instead of crashing —
+        the "auto" policy ships in every config, so a toolchain that
+        rejects the forward kernel must still render."""
+        if self._fused_render_ok is None:
+            import warnings
+
+            try:
+                self._probe_fused_render()
+                self._fused_render_ok = True
+                return True
+            except Exception as e:  # Mosaic/compile errors are not typed
+                msg = f"{type(e).__name__}: {e}"
+                if any(
+                    m in msg
+                    for m in ("UNAVAILABLE", "DEADLINE_EXCEEDED",
+                              "Unable to initialize backend",
+                              "Socket closed", "Connection reset")
+                ):
+                    raise  # transient — never cache as "doesn't compile"
+            warnings.warn(
+                "fused Pallas render kernel unavailable on this backend "
+                f"({msg[:300]}); falling back to the XLA render path"
+            )
+            self._fused_render_ok = False
+        return self._fused_render_ok
+
+    def _probe_fused_render(self) -> None:
+        """One tiny forward through the selected render kernel per distinct
+        network shape, with the exact validation-mode statics (sample
+        count, compute dtype, raw-lane mode).  Runs in a fresh thread for
+        a clean trace state — see :meth:`_probe_fused_train`."""
+        import threading
+
+        box: list[BaseException] = []
+
+        def run_probe():
+            from ddnerf_tpu.utils.compile import step_compiler_options
+
+            par = self.cfg.parallel
+            cdt = _dtype_of(self.cfg)
+            variant = _ov(_RENDER_KERNEL_VARIANT, par.render_kernel_variant)
+            params = self.init_params(jax.random.PRNGKey(0))
+            vc = self.cfg.nerf.validation
+            nets = [("coarse", isinstance(self.coarse, DepthMipMLP),
+                     vc.num_coarse + 1)]
+            if not self.shared_net:
+                nets.append(("fine", False, vc.num_fine + 1))
+            n = 32  # one dirs block of rays
+            opts = step_compiler_options(self.cfg)
+            for key, depth, s in nets:
+                p = params[key]
+                if variant == "mlp":
+                    from ddnerf_tpu.kernels.fused_mlp import fused_mlp_forward
+
+                    ipe = jnp.zeros((n * s, 96), cdt)
+                    dirs = jnp.zeros((n, 27), cdt)
+
+                    def f(pp, ipe=ipe, dirs=dirs, depth=depth, s=s):
+                        return fused_mlp_forward(
+                            pp, ipe, dirs, depth_head=depth,
+                            compute_dtype=cdt, interpret=False,
+                            samples_per_ray=s,
+                            raw_lane=par.raw_lane_inputs,
+                        )
+                else:
+                    from ddnerf_tpu.kernels.fused_ipe_mlp import (
+                        fused_ipe_mlp_apply,
+                    )
+
+                    means = jnp.zeros((n * s, 3), jnp.float32)
+                    covs = jnp.full((n * s, 3), 1e-4, jnp.float32)
+                    dirs3 = jnp.zeros((n * s, 3), jnp.float32)
+
+                    def f(pp, means=means, covs=covs, dirs3=dirs3,
+                          depth=depth):
+                        return fused_ipe_mlp_apply(
+                            pp, means, covs, dirs3, depth, False
+                        )
+
+                probe = jax.jit(f, compiler_options=opts)
+                jax.block_until_ready(probe(p))
+
+        def target():
+            try:
+                run_probe()
+            except BaseException as e:  # reraised in the caller below
+                box.append(e)
+
+        t = threading.Thread(target=target, name="fused-render-probe")
+        t.start()
+        t.join()
+        if box:
+            raise box[0]
 
     def _train_block_rows(self) -> int:
         """The fused train kernels' row-block size actually in effect:
@@ -339,12 +440,14 @@ class NerfPipeline:
         policy = self._pallas_policy()
         if policy == "all":
             return True
-        # "render": auto-enable only on real hardware — interpret mode is a
-        # correctness tool, not a fast path.
+        # "render"/"auto": forward kernel on the whole-image paths, only on
+        # real hardware (interpret mode is a correctness tool, not a fast
+        # path) and only if the kernel probe-compiles (fallback = XLA).
         return (
-            policy == "render"
+            policy in ("render", "auto")
             and mode in ("validation", "render")
             and not self._pallas_interpret
+            and self._fused_render_available()
         )
 
     def _analytic_weights_vjp(self) -> bool:
@@ -366,7 +469,7 @@ class NerfPipeline:
             t_vals, rays.origins, rays.directions, rays.radii, self.cfg.nerf.ray_shape
         )
         if (
-            self._pallas_policy() == "train"
+            self._pallas_policy() in ("train", "auto")
             and mode == "train"
             and self._fused_train_available()
         ):

@@ -1,11 +1,11 @@
-"""Graceful degradation when the fused Pallas train kernels cannot compile.
+"""Graceful degradation when the fused Pallas kernels cannot compile.
 
-All shipped configs default ``parallel.pallas_mlp: train`` and only one
-backward block size is known to compile in Mosaic (fused_mlp_bwd.py), so a
-TPU generation or toolchain that rejects the kernel must NOT crash the CLI:
-the pipeline probe-compiles the kernel once and falls back to the XLA train
-step (round-4 verdict item 2; cf. the reference's unconditional CPU
-fallback, /root/reference/train_model.py:54-57).
+All shipped configs default ``parallel.pallas_mlp: auto`` (fused backward
+for training + fused forward for whole-image render), so a TPU generation
+or toolchain that rejects either kernel must NOT crash the CLI: the
+pipeline probe-compiles each direction once and falls back to the XLA path
+(round-4 verdict item 2; cf. the reference's unconditional CPU fallback,
+/root/reference/train_model.py:54-57).
 """
 
 import warnings
@@ -155,6 +155,84 @@ def test_step_compiler_options_on_tpu_backend(monkeypatch):
     assert C.step_compiler_options(cfg) == {
         "xla_tpu_scoped_vmem_limit_kib": "32768"
     }
+
+
+def test_auto_policy_routes_train_through_fused_kernel():
+    """pallas_mlp="auto" must train exactly like "train" (the fused
+    backward kernel) and gate the render kernel off under interpret."""
+    cfg = _tiny_cfg("auto")
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    batch = _batch()
+    _, metrics = jax.jit(make_train_step(cfg, pipe))(state, batch)
+    assert pipe._fused_train_ok is True  # the train probe ran and passed
+    # Interpret mode (CPU) never auto-enables the render kernel: it is a
+    # correctness tool, not a fast path — and the probe must not even run.
+    assert pipe._use_pallas("validation") is False
+    assert pipe._fused_render_ok is None
+
+    cfg_t = _tiny_cfg("train")
+    pipe_t = NerfPipeline(cfg_t)
+    state_t = create_train_state(cfg_t, pipe_t, jax.random.PRNGKey(0))
+    _, metrics_t = jax.jit(make_train_step(cfg_t, pipe_t))(state_t, batch)
+    assert float(metrics["loss"]) == pytest.approx(
+        float(metrics_t["loss"]), abs=1e-6
+    )
+
+
+def test_auto_policy_enables_render_kernel_on_hardware(monkeypatch):
+    """On a real backend (simulated), "auto" probes the render kernel once
+    and enables it for the whole-image modes only."""
+    cfg = _tiny_cfg("auto")
+    pipe = NerfPipeline(cfg)
+    pipe._pallas_interpret_cached = False  # pretend: real hardware
+
+    calls = {"n": 0}
+
+    def fake_probe(self):
+        calls["n"] += 1
+
+    monkeypatch.setattr(NerfPipeline, "_probe_fused_render", fake_probe)
+    assert pipe._use_pallas("validation") is True
+    assert pipe._use_pallas("render") is True
+    assert pipe._use_pallas("train") is False  # train uses the bwd kernel
+    assert calls["n"] == 1  # probe result is cached
+
+
+def test_render_kernel_compile_failure_falls_back_to_xla(monkeypatch):
+    """A render-kernel probe failure must degrade to the XLA render path —
+    whole-image outputs identical to pallas_mlp: off."""
+    from ddnerf_tpu.models.nerf import RayBatch, ScheduleValues
+
+    cfg = _tiny_cfg("auto")
+    pipe = NerfPipeline(cfg)
+    pipe._pallas_interpret_cached = False  # pretend: real hardware
+
+    def boom(self):
+        raise RuntimeError("Mosaic rejected the kernel (simulated)")
+
+    monkeypatch.setattr(NerfPipeline, "_probe_fused_render", boom)
+
+    b = _batch()
+    rays = RayBatch.create(b["origins"], b["directions"], b["radii"],
+                           cfg.dataset.near, cfg.dataset.far)
+    sched = ScheduleValues.for_eval(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = pipe.render_rays(params, rays, jax.random.PRNGKey(1), sched,
+                               "validation")
+    assert pipe._fused_render_ok is False
+    assert any("falling back to the XLA render path" in str(w.message)
+               for w in caught)
+
+    pipe_off = NerfPipeline(_tiny_cfg("off"))
+    out_off = pipe_off.render_rays(params, rays, jax.random.PRNGKey(1),
+                                   sched, "validation")
+    for i in (0, 1):
+        np.testing.assert_array_equal(
+            np.asarray(out[i]["rgb"]), np.asarray(out_off[i]["rgb"])
+        )
 
 
 def test_probe_success_keeps_kernels(monkeypatch):
