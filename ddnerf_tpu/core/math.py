@@ -141,6 +141,20 @@ def expected_sin(x, x_var):
 IPE_DOUBLE_ANGLE = None
 
 
+# Trace-time A/B override for the feature assembly below (None = shipped
+# default = False).  True: ONE last-axis concatenate of the 2L per-degree
+# [..., 3] pieces; False: stack(axis=-2) + reshape per half + concat.  Both
+# are bit-identical in the same (l, dim) order — this was a memory-layout
+# experiment against the ~0.13 ms of layout-transposed reshape/copies the
+# stack+reshape path shows at the kernel boundary (round-4 trace digest,
+# ops reshape.4763/copy.970/971).  MEASURED NEGATIVE on chip (v5e, 6
+# interleaved rounds, flagship step): one-concat 227.6k vs stack+reshape
+# 477.0k rays/s median — the 32-piece lane-dim concatenate becomes a
+# standalone unfusable HLO that forces the whole IPE prologue out of the
+# consumers, costing 2x the step.  Kept as the documented counterfactual.
+IPE_ONE_CONCAT = None
+
+
 def _ipe_double_angle(x, x_cov_diag, min_deg, max_deg):
     base = x * (2.0**min_deg)
     s, c = safe_sin(base), safe_cos(base)  # [..., 3]
@@ -153,8 +167,11 @@ def _ipe_double_angle(x, x_cov_diag, min_deg, max_deg):
         if deg + 1 < max_deg:
             s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
             var_scale = var_scale * 4.0
-    shape = x.shape[:-1] + (-1,)
     # Same feature layout as the direct path: [sin(2^l x) by (l, dim) | cos].
+    one_concat = False if IPE_ONE_CONCAT is None else IPE_ONE_CONCAT
+    if one_concat:
+        return jnp.concatenate(sin_feats + cos_feats, axis=-1)
+    shape = x.shape[:-1] + (-1,)
     sin_half = jnp.reshape(jnp.stack(sin_feats, axis=-2), shape)
     cos_half = jnp.reshape(jnp.stack(cos_feats, axis=-2), shape)
     return jnp.concatenate([sin_half, cos_half], axis=-1)

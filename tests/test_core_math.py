@@ -256,3 +256,20 @@ def test_ipe_double_angle_matches_direct():
     finally:
         mmath.IPE_DOUBLE_ANGLE = prev
     assert np.max(np.abs(direct - rec)) < 2e-4  # bf16 eps is 3.9e-3
+
+def test_ipe_one_concat_bit_identical():
+    """IPE_ONE_CONCAT (the measured-negative single-concatenate assembly,
+    see core/math.py) must stay bit-identical to the shipped stack+reshape
+    layout so the A/B switch measures pure memory layout, never values."""
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-6.0, 6.0, (33, 3)).astype(np.float32)
+    var = np.abs(rng.normal(0.0, 0.05, (33, 3))).astype(np.float32)
+    prev = mmath.IPE_ONE_CONCAT
+    try:
+        mmath.IPE_ONE_CONCAT = False
+        a = np.asarray(mmath._ipe_double_angle(jnp.asarray(x), jnp.asarray(var), 0, 16))
+        mmath.IPE_ONE_CONCAT = True
+        b = np.asarray(mmath._ipe_double_angle(jnp.asarray(x), jnp.asarray(var), 0, 16))
+    finally:
+        mmath.IPE_ONE_CONCAT = prev
+    np.testing.assert_array_equal(a, b)
