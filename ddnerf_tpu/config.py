@@ -259,13 +259,17 @@ class ParallelConfig:
     # autodiff + f64); measured +0.3% on v5e (PERF.md round-4 A/B).
     composite_custom_vjp: bool = True
     # Precision of the one-hot section fetches in the resamplers and dp
-    # loss (core/sampling.fetch_sections): "highest" = gather-exact 6-pass
-    # decomposition; "high" = 3-pass, ~2x cheaper on the MXU but ~2^-16
-    # relative error on the fetched values (guarded by the frac clamp in
-    # sample_pdf_with_mu_sigma).  "high" measured +1.3% rays/s on v5e and
-    # passed the 5k-iter quality soak (0 NaN, val PSNR identical to
-    # "highest" at 29.0 dB — PERF.md round-4 fourth pass).
-    fetch_precision: str = "high"
+    # loss (core/sampling.fetch_sections): "mixed" = per-operand
+    # (DEFAULT one-hot lhs, HIGHEST values rhs) — gather-EXACT (the 0/1
+    # one-hot is bf16-representable and the 3-split rhs covers all 24 f32
+    # mantissa bits) at 3-pass cost; measured on v5e: exact (0 ulp vs a
+    # real gather at production shapes) and speed-tied with "high"
+    # (476.5k vs 476.4k median, 6 interleaved rounds), +1.3% over
+    # "highest".  "highest" = both operands 3-split (6 passes, exact);
+    # "high" = 3 passes with ~2^-16 relative error on the fetched values
+    # (guarded by the frac clamp in sample_pdf_with_mu_sigma; passed the
+    # 5k-iter quality soak — PERF.md round-4 fourth pass).
+    fetch_precision: str = "mixed"
     # Skip the defensive re-sort of the truncated-Gaussian resampler output
     # (already sorted by construction — see core/sampling module comment;
     # fuzz-tested, and confirmed bit-identical on chip).  +0.6% rays/s.

@@ -191,7 +191,13 @@ def interval_one_hot(x, fences, strict=False):
 
 # Trace-time override of the fetch_sections precision (None = follow the
 # ``precision`` argument, which production threads from
-# ``cfg.parallel.fetch_precision``).  Semantics of the two values:
+# ``cfg.parallel.fetch_precision``).  Semantics of the three values:
+#
+# * "mixed" (production default): per-operand (DEFAULT, HIGHEST) — the 0/1
+#   one-hot lhs is exactly representable in one bf16 pass, so only the
+#   values rhs is 3-split.  Gather-EXACT (verified 0 ulp on v5e vs a real
+#   gather at production shapes) at the same 3-pass MXU cost as "high"
+#   (speed-tied on chip: 476.5k vs 476.4k rays/s median).
 #
 # * "highest": 6-pass bf16x6 decomposition — full f32-mantissa passthrough,
 #   bit-identical to a gather for exact 0/1 one-hot rows.  The safe default:
@@ -223,7 +229,15 @@ def fetch_sections(oh, *arrays, precision="highest"):
     stacked = jnp.stack(arrays, axis=-1)
     name = FETCH_PRECISION if FETCH_PRECISION is not None else precision
     prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH}[name]
+            "high": jax.lax.Precision.HIGH,
+            # Per-operand: the one-hot lhs is exact 0/1 (bf16-representable,
+            # a single pass suffices); only the fetched-values rhs needs the
+            # 3-split bf16x3 decomposition that covers all 24 f32 mantissa
+            # bits.  Gather-exact like "highest" at "high"'s 3-pass cost —
+            # IF the backend honors asymmetric operand precision (measured
+            # on chip before shipping; see config.fetch_precision).
+            "mixed": (jax.lax.Precision.DEFAULT,
+                      jax.lax.Precision.HIGHEST)}[name]
     out = jnp.einsum("...ms,...sk->...mk", oh, stacked, precision=prec)
     return tuple(out[..., k] for k in range(len(arrays)))
 
