@@ -270,6 +270,20 @@ class ParallelConfig:
     # (guarded by the frac clamp in sample_pdf_with_mu_sigma; passed the
     # 5k-iter quality soak — PERF.md round-4 fourth pass).
     fetch_precision: str = "mixed"
+    # Feed the fused kernels a feature-major [96, N] IPE array
+    # (core/math.integrated_pos_enc_t — bit-identical values): the
+    # per-degree elementwise IPE work runs at full lane utilization and
+    # the array is born in the default row-major layout pallas_call
+    # operands require, eliminating the relayout copies the row-major
+    # form shows at the kernel boundaries.  Layer 0 contracts dim 0
+    # in-kernel (the wgrad orientation Mosaic already compiles).
+    # MEASURED NEUTRAL on v5e (PERF.md round-4 seventh pass): the copies
+    # do disappear (data formatting 0.315 -> 0.270 ms/step) but the
+    # transposed input block costs the kernels about the same
+    # (custom-call 3.270 -> 3.299 ms); whole-step +0.3%, within chip
+    # variance.  Default off; kept as a tested option for other
+    # chip generations / batch shapes.
+    ipe_transposed: bool = False
     # Skip the defensive re-sort of the truncated-Gaussian resampler output
     # (already sorted by construction — see core/sampling module comment;
     # fuzz-tested, and confirmed bit-identical on chip).  +0.6% rays/s.

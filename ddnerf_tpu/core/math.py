@@ -205,6 +205,55 @@ def integrated_pos_enc(means_covs, min_deg=0, max_deg=16, diag=True,
     )[0]
 
 
+def integrated_pos_enc_t(means_covs, min_deg=0, max_deg=16,
+                         double_angle=True):
+    """Feature-major IPE: the exact transpose of :func:`integrated_pos_enc`.
+
+    Input: ``(means [N, 3], covs [N, 3])``; output ``[2*3*L, N]`` with row
+    ``k`` equal to column ``k`` of the standard layout (sin by (l, dim),
+    then cos).  Built for the fused Pallas kernels (kernels/fused_mlp.py
+    ``ipe_transposed``): the per-degree elementwise work runs on [3, N]
+    arrays (N in lanes — full VPU utilization, vs 3/128 in the row-major
+    form), the [96, N] result is born in default row-major layout (no
+    relayout copy at the pallas_call boundary, which requires
+    default-layout operands), and layer 0 contracts dim 0 on the MXU
+    (``lax.dot_general`` (((0,), (0,)), ...) — the same orientation the
+    backward kernel's wgrads already use).
+
+    Values are bit-identical to ``integrated_pos_enc(...).T``: the
+    elementwise chain is orientation-independent and assembly is pure
+    stack/reshape (tested in test_core_math.py).
+    """
+    x, x_cov_diag = means_covs
+    x_t, v_t = x.T, x_cov_diag.T  # [3, N]
+    if IPE_DOUBLE_ANGLE if IPE_DOUBLE_ANGLE is not None else double_angle:
+        base = x_t * (2.0**min_deg)
+        s, c = safe_sin(base), safe_cos(base)  # [3, N]
+        sin_feats, cos_feats = [], []
+        var_scale = 4.0**min_deg
+        for deg in range(min_deg, max_deg):
+            w = jnp.exp((-0.5 * var_scale) * v_t)
+            sin_feats.append(w * s)
+            cos_feats.append(w * c)
+            if deg + 1 < max_deg:
+                s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+                var_scale = var_scale * 4.0
+        half = x_t.shape[:-2] + (-1, x_t.shape[-1])
+        sin_half = jnp.reshape(jnp.stack(sin_feats, axis=0), half)
+        cos_half = jnp.reshape(jnp.stack(cos_feats, axis=0), half)
+        return jnp.concatenate([sin_half, cos_half], axis=0)
+    scales = jnp.asarray([2.0**i for i in range(min_deg, max_deg)],
+                         dtype=x.dtype)
+    shape = (-1,) + x_t.shape[-1:]
+    # [L, 1, 1] * [3, N] -> [L, 3, N] -> [L*3, N]
+    y = jnp.reshape(scales[:, None, None] * x_t[None], shape)
+    y_var = jnp.reshape(scales[:, None, None] ** 2 * v_t[None], shape)
+    return expected_sin(
+        jnp.concatenate([y, y + 0.5 * jnp.pi], axis=0),
+        jnp.concatenate([y_var] * 2, axis=0),
+    )[0]
+
+
 def positional_encoding(x, num_freqs=4, include_input=True, log_sampling=True):
     """Classic NeRF PE used for view directions (nerf_helpers.py:127-171).
 

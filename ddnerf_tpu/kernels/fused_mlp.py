@@ -62,6 +62,15 @@ def _mm(a, w):
     )
 
 
+def _mm_d0(a, w):
+    """a[K, B] / w[K, F] -> [B, F]: contract dim 0 of both — the layer-0
+    orientation for TRANSPOSED (feature-major) inputs.  Same MXU pattern
+    as the backward kernel's wgrad (_mm_t in fused_mlp_bwd)."""
+    return jax.lax.dot_general(
+        a, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _ray_one_hot(rows: int, rays: int, samples: int, dtype):
     """[rows, rays] one-hot of each row's ray index (row // samples).
 
@@ -95,6 +104,7 @@ STASH_H = 7  # slab index of h
 def _kernel(
     samples,
     stash,
+    ipe_t,
     ipe_ref,
     dirs_ref,
     *refs,
@@ -109,6 +119,10 @@ def _kernel(
 
     ``stash`` (static): write the NUM_STASH activation slabs to the second
     output so the fused backward can skip its forward recompute.
+
+    ``ipe_t`` (static): ``ipe_ref`` is TRANSPOSED [F, B] (feature-major —
+    see core/math.integrated_pos_enc_t); layer 0 and the skip projection
+    contract dim 0 (:func:`_mm_d0`) instead of transposing in-kernel.
 
     refs = [w0..w7, w5i, b_trunk, wf, bf_wa_packed..., ...] — see the packing
     order in :func:`_pack_params`; out_ref(s) are last.
@@ -129,13 +143,14 @@ def _kernel(
 
     ipe = ipe_ref[:]
     dtype = ipe.dtype
+    mm_in = _mm_d0 if ipe_t else _mm
 
-    x = ipe
+    x = None
     trunk = [w_trunk0, *w_trunk_rest]
     for i in range(NUM_TRUNK):
-        acc = _mm(x, trunk[i][:])
+        acc = mm_in(ipe, trunk[i][:]) if i == 0 else _mm(x, trunk[i][:])
         if i == SKIP_LAYER:
-            acc = acc + _mm(ipe, w5i[:])
+            acc = acc + mm_in(ipe, w5i[:])
         x = jnp.maximum(acc + b_trunk[i, :][None, :], 0.0).astype(dtype)
         if stash and i < NUM_TRUNK - 1:
             # Slabs are max(hidden, dir_hidden) wide; values ride the
@@ -148,8 +163,9 @@ def _kernel(
     alpha = _mm(feat, wa[:]) + b_alpha[:]  # [block, LANE], col 0 valid
 
     if samples:
+        rows = ipe.shape[1] if ipe_t else ipe.shape[0]
         dproj = _expand_per_ray(
-            _mm(dirs_ref[:], wd_dirs[:]), ipe.shape[0], samples
+            _mm(dirs_ref[:], wd_dirs[:]), rows, samples
         )
     else:
         dproj = _mm(dirs_ref[:], wd_dirs[:])
@@ -264,6 +280,7 @@ def fused_mlp_forward(
     rays_per_block: int = 32,
     stash: bool = False,
     raw_lane: bool = False,
+    ipe_transposed: bool = False,
 ):
     """Evaluate MipMLP/DepthMipMLP on [N, 96] IPE + dir features.
 
@@ -272,11 +289,16 @@ def fused_mlp_forward(
     projection broadcasts inside the kernel.  Returns [N, 4 or 6] float32:
     (rgb, alpha[, mu, sigma]) — same layout as the flax modules.
 
+    ``ipe_transposed=True``: ``ipe`` is feature-major [96, N] (see
+    core/math.integrated_pos_enc_t) — born row-major, so no relayout copy
+    at the pallas_call boundary; layer 0 contracts dim 0 in-kernel.
+
     ``stash=True`` additionally returns the [NUM_STASH, N_pad, hidden]
     compute-dtype activation slabs for :func:`fused_mlp_bwd` (the padded
     row count is internal — pass the array through unchanged).
     """
-    n = ipe.shape[0]
+    n = ipe.shape[1] if ipe_transposed else ipe.shape[0]
+    ipe_feat = ipe.shape[0] if ipe_transposed else ipe.shape[1]
     hidden = params["fc_feat"]["kernel"].shape[0]
     out_dim = 6 if depth_head else 4
     n_pad, block_rows, dirs_block = plan_blocks(
@@ -285,17 +307,27 @@ def fused_mlp_forward(
     dirs_rows = n_pad // samples_per_ray if samples_per_ray else n_pad
 
     raw = RAW_LANE_INPUTS if RAW_LANE_INPUTS is not None else raw_lane
-    in_w = (ipe.shape[1], dirs.shape[1]) if raw else (LANE, LANE)
-    ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad,
-                    cols=None if raw else LANE)
+    in_w = (ipe_feat, dirs.shape[1]) if raw else (LANE, LANE)
+    if ipe_transposed:
+        ipe_p = _pad_to(ipe.astype(compute_dtype), cols=n_pad,
+                        rows=None if raw else LANE)
+    else:
+        ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad,
+                        cols=None if raw else LANE)
     dirs_p = _pad_to(dirs.astype(compute_dtype), rows=dirs_rows,
                      cols=None if raw else LANE)
     packed = _pack_params(params, depth_head, compute_dtype,
                           pad_inputs=not raw)
 
     grid = (n_pad // block_rows,)
+    if ipe_transposed:
+        ipe_spec = pl.BlockSpec((in_w[0], block_rows), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+    else:
+        ipe_spec = pl.BlockSpec((block_rows, in_w[0]), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((block_rows, in_w[0]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ipe_spec,
         pl.BlockSpec((dirs_block, in_w[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in packed]
 
@@ -322,7 +354,7 @@ def fused_mlp_forward(
         )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, samples_per_ray, stash),
+        functools.partial(_kernel, samples_per_ray, stash, ipe_transposed),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,

@@ -47,6 +47,7 @@ from ddnerf_tpu.kernels.fused_mlp import (
     SKIP_LAYER,
     STASH_H,
     _mm,
+    _mm_d0,
     _pack_params,
     _pad_to,
     _ray_one_hot,
@@ -83,13 +84,18 @@ def _mm_exact(a, b):
     )
 
 
-def _bwd_kernel(samples, use_stash, ipe_ref, dirs_ref, g_ref, *refs):
+def _bwd_kernel(samples, use_stash, ipe_t, ipe_ref, dirs_ref, g_ref, *refs):
     """One row-block: (re)build the forward activations, then the full
     backward.
 
     ``samples`` (static): 0 = per-sample ``dirs_ref`` [B, LANE]; K > 0 =
     PER-RAY ``dirs_ref`` [B // K, LANE] with the dir projection broadcast /
     reduced through an exact one-hot contraction (see fused_mlp._kernel).
+
+    ``ipe_t`` (static): ``ipe_ref`` is TRANSPOSED [F, B] (feature-major).
+    The recompute's layer 0 / skip contract dim 0 (fused_mlp._mm_d0) and
+    the layer-0/skip wgrads become STANDARD matmuls (ipe_t @ g — no
+    in-kernel transposes either way).
 
     ``use_stash`` (static): read trunk x0..x6 and h from the forward
     kernel's HBM stash (one extra blocked input after the weights) instead
@@ -123,7 +129,11 @@ def _bwd_kernel(samples, use_stash, ipe_ref, dirs_ref, g_ref, *refs):
     ipe = ipe_ref[:]
     dirs = dirs_ref[:]
     cdt = ipe.dtype
-    nb = ipe.shape[0]
+    nb = ipe.shape[1] if ipe_t else ipe.shape[0]
+    mm_in = _mm_d0 if ipe_t else _mm
+    # Layer-0/skip wgrad: rows^T @ g.  With feature-major ipe that IS a
+    # standard matmul; row-major needs the dim-0 contraction (_mm_t).
+    mm_wg_in = _mm if ipe_t else _mm_t
 
     if samples:
         oh = _ray_one_hot(nb, nb // samples, samples, jnp.float32)
@@ -149,11 +159,11 @@ def _bwd_kernel(samples, use_stash, ipe_ref, dirs_ref, g_ref, *refs):
         def act(i):
             return acts_ref[i]
 
-        x = ipe
+        x = None
         for i in range(NUM_TRUNK):
-            acc = _mm(x, w_trunk[i][:])
+            acc = mm_in(ipe, w_trunk[i][:]) if i == 0 else _mm(x, w_trunk[i][:])
             if i == SKIP_LAYER:
-                acc = acc + _mm(ipe, w5i[:])
+                acc = acc + mm_in(ipe, w5i[:])
             x = jnp.maximum(acc + b_trunk[i, :][None, :], 0.0).astype(cdt)
             acts_ref[i] = x
         feat = (_mm(x, wf[:]) + bf[:]).astype(cdt)  # fc_feat: no activation
@@ -236,13 +246,12 @@ def _bwd_kernel(samples, use_stash, ipe_ref, dirs_ref, g_ref, *refs):
         xi = act(i)
         gi = jnp.where(xi.astype(jnp.float32) > 0, gx, 0.0)
         gi_c = gi.astype(cdt)
-        prev = act(i - 1) if i > 0 else ipe
         if i == 0:
-            accum(d_w0, _mm_t(ipe, gi_c))
+            accum(d_w0, mm_wg_in(ipe, gi_c))
         else:
-            accum(d_w_mid, _mm_t(prev, gi_c), idx=i - 1)
+            accum(d_w_mid, _mm_t(act(i - 1), gi_c), idx=i - 1)
         if i == SKIP_LAYER:
-            accum(d_w5i, _mm_t(ipe, gi_c))
+            accum(d_w5i, mm_wg_in(ipe, gi_c))
         db_rows.append(jnp.sum(gi, axis=0, keepdims=True))
         if i > 0:
             gx = _mm_bt(gi_c, w_trunk[i][:])
@@ -263,20 +272,22 @@ def fused_mlp_backward(
     rays_per_block: int = 32,
     acts: jax.Array | None = None,
     raw_lane: bool = False,
+    ipe_transposed: bool = False,
 ) -> dict:
     """Parameter gradients of :func:`fused_mlp_forward` for cotangent ``g``.
 
-    ``ipe [N, 96]``, ``g [N, 4 or 6]``; ``dirs`` is per-sample [N, 27], or
+    ``ipe [N, 96]`` (or feature-major [96, N] with ``ipe_transposed``),
+    ``g [N, 4 or 6]``; ``dirs`` is per-sample [N, 27], or
     per-ray [N // K, 27] with ``samples_per_ray=K`` (ray-major rows).
     ``acts``: the forward's ``stash=True`` output — when given, the kernel
     reads the stashed activations instead of recomputing the forward.
     Returns a grad pytree matching ``params`` (f32).
     """
-    n = ipe.shape[0]
+    n = ipe.shape[1] if ipe_transposed else ipe.shape[0]
     hidden = params["fc_feat"]["kernel"].shape[0]
     dir_hidden = params["dir_0"]["kernel"].shape[1]
     dir_in = params["dir_0"]["kernel"].shape[0] - hidden
-    ipe_in = ipe.shape[1]
+    ipe_in = ipe.shape[0] if ipe_transposed else ipe.shape[1]
     if block_rows is None:
         block_rows = BWD_BLOCK_ROWS  # module global: tunable at trace time
     n_pad, block_rows, dirs_block = plan_blocks(
@@ -288,7 +299,10 @@ def fused_mlp_backward(
 
     raw = RAW_LANE_INPUTS if RAW_LANE_INPUTS is not None else raw_lane
     cols = None if raw else LANE
-    ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad, cols=cols)
+    if ipe_transposed:
+        ipe_p = _pad_to(ipe.astype(compute_dtype), rows=cols, cols=n_pad)
+    else:
+        ipe_p = _pad_to(ipe.astype(compute_dtype), rows=n_pad, cols=cols)
     dirs_p = _pad_to(dirs.astype(compute_dtype), rows=dirs_rows, cols=cols)
     # The cotangent rides HBM in the compute dtype: the kernel quantizes it
     # to bf16 for every matmul anyway (the same quantization XLA applies to
@@ -312,7 +326,7 @@ def fused_mlp_backward(
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
     f32 = jnp.float32
-    ipe_w = ipe_p.shape[1]  # 96 raw, LANE padded
+    ipe_w = ipe_p.shape[0] if ipe_transposed else ipe_p.shape[1]  # 96 | LANE
     dirs_w = dirs_p.shape[1]  # 27 raw, LANE padded
     out_shapes = (
         jax.ShapeDtypeStruct((ipe_w, hidden), f32),                # d_w0
@@ -341,7 +355,12 @@ def fused_mlp_backward(
 
     use_stash = acts is not None
     inputs = [ipe_p, dirs_p, g_p, *packed]
-    in_specs = [row_spec(ipe_p.shape[1]), dirs_spec,
+    if ipe_transposed:
+        ipe_spec = pl.BlockSpec((ipe_w, block_rows), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+    else:
+        ipe_spec = row_spec(ipe_w)
+    in_specs = [ipe_spec, dirs_spec,
                 row_spec(g_p.shape[1])] + [full() for _ in packed]
     scratch_shapes = [
         pltpu.VMEM((NUM_TRUNK + 1, block_rows, hidden), compute_dtype)
@@ -365,7 +384,8 @@ def fused_mlp_backward(
         scratch_shapes = []  # activations come from the stash
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, samples_per_ray, use_stash),
+        functools.partial(_bwd_kernel, samples_per_ray, use_stash,
+                          ipe_transposed),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -407,11 +427,12 @@ def _zeros(ndim, *_idx):
     return (0,) * ndim
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def fused_mlp_train_apply(
     params, ipe, dirs, depth_head: bool, interpret: bool = False,
     compute_dtype=jnp.bfloat16, samples_per_ray: int = 0,
     stash: bool = False, block_rows: int = 0, raw_lane: bool = False,
+    ipe_transposed: bool = False,
 ):
     """Fused Pallas forward + fused Pallas backward.
 
@@ -423,6 +444,9 @@ def fused_mlp_train_apply(
     for stash DMA that overlaps the backward's remaining compute.
     ``block_rows``: rows per grid block for BOTH directions (0 = the
     module default BWD_BLOCK_ROWS) — shared so the stash plan matches.
+    ``ipe_transposed=True``: ``ipe`` is feature-major [96, N] (see
+    core/math.integrated_pos_enc_t) — no relayout copies at either
+    kernel boundary.
     Input gradients are structurally zero (see module docstring); this op
     returns zeros for them, which DCE removes because the callers
     stop-gradient those inputs.
@@ -431,16 +455,17 @@ def fused_mlp_train_apply(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
         block_rows=block_rows or BWD_BLOCK_ROWS, raw_lane=raw_lane,
+        ipe_transposed=ipe_transposed,
     )
 
 
 def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype,
-         samples_per_ray, stash, block_rows, raw_lane):
+         samples_per_ray, stash, block_rows, raw_lane, ipe_transposed):
     out = fused_mlp_forward(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
         stash=stash, block_rows=block_rows or BWD_BLOCK_ROWS,
-        raw_lane=raw_lane,
+        raw_lane=raw_lane, ipe_transposed=ipe_transposed,
     )
     if stash:
         out, acts = out
@@ -449,12 +474,13 @@ def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype,
 
 
 def _bwd(depth_head, interpret, compute_dtype, samples_per_ray, stash,
-         block_rows, raw_lane, res, g):
+         block_rows, raw_lane, ipe_transposed, res, g):
     params, ipe, dirs, acts = res
     grads = fused_mlp_backward(
         params, ipe, dirs, g, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
         acts=acts, block_rows=block_rows or None, raw_lane=raw_lane,
+        ipe_transposed=ipe_transposed,
     )
     return grads, jnp.zeros_like(ipe), jnp.zeros_like(dirs)
 

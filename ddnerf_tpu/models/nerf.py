@@ -103,6 +103,7 @@ _KERNEL_PER_RAY_DIRS = None
 _KERNEL_STASH_ACTS = None
 _RENDER_KERNEL_VARIANT = None
 _COMPOSITE_CUSTOM_VJP = None  # -> cfg.parallel.composite_custom_vjp
+_IPE_TRANSPOSED = None  # -> cfg.parallel.ipe_transposed
 
 
 def _ov(override, cfg_value):
@@ -296,15 +297,19 @@ class NerfPipeline:
                 if variant == "mlp":
                     from ddnerf_tpu.kernels.fused_mlp import fused_mlp_forward
 
-                    ipe = jnp.zeros((n * s, 96), cdt)
+                    ipe_t = self._ipe_transposed()
+                    ipe = jnp.zeros((96, n * s) if ipe_t else (n * s, 96),
+                                    cdt)
                     dirs = jnp.zeros((n, 27), cdt)
 
-                    def f(pp, ipe=ipe, dirs=dirs, depth=depth, s=s):
+                    def f(pp, ipe=ipe, dirs=dirs, depth=depth, s=s,
+                          ipe_t=ipe_t):
                         return fused_mlp_forward(
                             pp, ipe, dirs, depth_head=depth,
                             compute_dtype=cdt, interpret=False,
                             samples_per_ray=s,
                             raw_lane=par.raw_lane_inputs,
+                            ipe_transposed=ipe_t,
                         )
                 else:
                     from ddnerf_tpu.kernels.fused_ipe_mlp import (
@@ -387,13 +392,15 @@ class NerfPipeline:
                     dirs, spr = jnp.zeros((n, 27), cdt), s
                 else:
                     dirs, spr = jnp.zeros((n * s, 27), cdt), 0
-                ipe = jnp.zeros((n * s, 96), cdt)
+                ipe_t = self._ipe_transposed()
+                ipe = jnp.zeros((96, n * s) if ipe_t else (n * s, 96), cdt)
 
-                def f(pp, ipe=ipe, dirs=dirs, depth=depth, spr=spr):
+                def f(pp, ipe=ipe, dirs=dirs, depth=depth, spr=spr,
+                      ipe_t=ipe_t):
                     out = fk.fused_mlp_train_apply(
                         pp, ipe, dirs, depth, self._pallas_interpret, cdt,
                         spr, stash, self._train_block_rows(),
-                        par.raw_lane_inputs,
+                        par.raw_lane_inputs, ipe_t,
                     )
                     return jnp.sum(out.astype(jnp.float32))
 
@@ -459,6 +466,21 @@ class NerfPipeline:
             (means, covs), double_angle=self.cfg.parallel.ipe_double_angle
         )
 
+    def _ipe_transposed(self) -> bool:
+        return _ov(_IPE_TRANSPOSED, self.cfg.parallel.ipe_transposed)
+
+    def _kernel_ipe(self, means, covs, n, s):
+        """The fused kernels' IPE input: flattened [n*s, 96], or
+        feature-major [96, n*s] when ``parallel.ipe_transposed`` (see
+        core/math.integrated_pos_enc_t — bit-identical values, no
+        relayout copies at the pallas_call boundary)."""
+        if self._ipe_transposed():
+            return mmath.integrated_pos_enc_t(
+                (means.reshape(n * s, 3), covs.reshape(n * s, 3)),
+                double_angle=self.cfg.parallel.ipe_double_angle,
+            )
+        return self._ipe(means.reshape(n * s, 3), covs.reshape(n * s, 3))
+
     def _run_network(self, module, params, rays: RayBatch, t_vals, mode="train"):
         """cast_rays → IPE → viewdir PE → MLP (reference models.py:117-142).
 
@@ -484,7 +506,7 @@ class NerfPipeline:
             n, s = means.shape[0], means.shape[1]
             # Flatten BEFORE the IPE so the big [N*S, 96] feature array is
             # born in the kernel's row-major layout (no post-hoc reshape).
-            ipe = self._ipe(means.reshape(n * s, 3), covs.reshape(n * s, 3))
+            ipe = self._kernel_ipe(means, covs, n, s)
             dirs_enc = mmath.positional_encoding(rays.viewdirs, num_freqs=4)
             cdt = _dtype_of(self.cfg)
             if _ov(_KERNEL_PER_RAY_DIRS, self.cfg.parallel.kernel_per_ray_dirs):
@@ -515,6 +537,7 @@ class NerfPipeline:
                 _ov(_KERNEL_STASH_ACTS, self.cfg.parallel.kernel_stash_acts),
                 self._train_block_rows(),
                 self.cfg.parallel.raw_lane_inputs,
+                self._ipe_transposed(),
             )
             return flat.reshape(n, s, out_dim)
         if self._use_pallas(mode):
@@ -529,9 +552,7 @@ class NerfPipeline:
                 # the forward-only path.
                 from ddnerf_tpu.kernels.fused_mlp import fused_mlp_forward
 
-                ipe = self._ipe(
-                    means.reshape(n * s, 3), covs.reshape(n * s, 3)
-                )
+                ipe = self._kernel_ipe(means, covs, n, s)
                 dirs_enc = mmath.positional_encoding(
                     rays.viewdirs, num_freqs=4
                 )
@@ -545,6 +566,7 @@ class NerfPipeline:
                     interpret=self._pallas_interpret,
                     samples_per_ray=s,
                     raw_lane=self.cfg.parallel.raw_lane_inputs,
+                    ipe_transposed=self._ipe_transposed(),
                 )
                 return flat.reshape(n, s, out_dim)
             # v2 kernel: IPE + viewdir PE + full MLP in VMEM; raw means/covs

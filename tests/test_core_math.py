@@ -273,3 +273,14 @@ def test_ipe_one_concat_bit_identical():
     finally:
         mmath.IPE_ONE_CONCAT = prev
     np.testing.assert_array_equal(a, b)
+
+def test_integrated_pos_enc_t_is_exact_transpose():
+    """integrated_pos_enc_t (the fused kernels' feature-major input) must
+    equal integrated_pos_enc(...).T bit-for-bit on both sin/cos paths."""
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.uniform(-6, 6, (37, 3)).astype(np.float32))
+    v = jnp.asarray(np.abs(rng.normal(0, 0.05, (37, 3))).astype(np.float32))
+    for da in (True, False):
+        a = mmath.integrated_pos_enc((x, v), double_angle=da)
+        b = mmath.integrated_pos_enc_t((x, v), double_angle=da)
+        np.testing.assert_array_equal(np.asarray(a).T, np.asarray(b))

@@ -87,3 +87,45 @@ def test_row_padding_irrelevant():
         compute_dtype=jnp.float32, interpret=True,
     )
     np.testing.assert_allclose(out_a, out_b, rtol=1e-5, atol=1e-6)
+
+@pytest.mark.parametrize("raw_lane", [False, True])
+def test_ipe_transposed_forward_bit_identical(raw_lane):
+    """The feature-major input path (ipe_transposed — see
+    core/math.integrated_pos_enc_t) must reproduce the row-major kernel
+    exactly: same values, same op order, only the layer-0 contraction
+    orientation differs (dim-0 vs dim-1), which interpret mode evaluates
+    identically."""
+    _, params, ipe, dirs = _setup(True, n=40)
+    base = fused_mlp_forward(
+        params, ipe, dirs, depth_head=True, block_rows=16,
+        compute_dtype=jnp.bfloat16, interpret=True, raw_lane=raw_lane,
+    )
+    got = fused_mlp_forward(
+        params, ipe.T, dirs, depth_head=True, block_rows=16,
+        compute_dtype=jnp.bfloat16, interpret=True, raw_lane=raw_lane,
+        ipe_transposed=True,
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
+def test_ipe_transposed_per_ray_dirs():
+    """Transposed IPE composes with the per-ray dirs mode (the dir
+    projection's row count comes from the transposed lane dim)."""
+    rng = np.random.default_rng(3)
+    n_rays, s = 6, 5
+    ipe = jnp.asarray(rng.standard_normal((n_rays * s, 96)).astype(np.float32))
+    dirs = jnp.asarray(rng.standard_normal((n_rays, 27)).astype(np.float32))
+    module = DepthMipMLP(hidden_size=64)
+    dirs_rows = jnp.repeat(dirs, s, axis=0)
+    params = module.init(jax.random.PRNGKey(0), ipe, dirs_rows)["params"]
+    base = fused_mlp_forward(
+        params, ipe, dirs, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True, samples_per_ray=s,
+        rays_per_block=2,
+    )
+    got = fused_mlp_forward(
+        params, ipe.T, dirs, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True, samples_per_ray=s,
+        rays_per_block=2, ipe_transposed=True,
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got))

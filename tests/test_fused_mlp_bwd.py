@@ -279,3 +279,33 @@ def test_block_rows_override_matches_default():
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5),
         g_default, g_small,
     )
+
+@pytest.mark.parametrize("stash", [False, True])
+def test_ipe_transposed_backward_matches_row_major(stash):
+    """fused_mlp_train_apply with feature-major IPE must produce the same
+    gradients as the row-major path (wgrad contraction orientation flips
+    between _mm_t and a standard matmul; interpret mode is exact)."""
+    rng = np.random.default_rng(9)
+    n = 48
+    ipe = jnp.asarray(rng.standard_normal((n, 96)).astype(np.float32))
+    dirs = jnp.asarray(rng.standard_normal((n, 27)).astype(np.float32))
+    module = DepthMipMLP(hidden_size=64)
+    params = module.init(jax.random.PRNGKey(1), ipe, dirs)["params"]
+    sg = jax.lax.stop_gradient
+
+    def loss(p, ipe_in, transposed):
+        out = fused_mlp_train_apply(
+            p, sg(ipe_in), sg(dirs), True, True, jnp.bfloat16, 0, stash,
+            16, True, transposed,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_base = jax.grad(loss)(params, ipe, False)
+    g_t = jax.grad(loss)(params, ipe.T, True)
+    # The layer-0/skip wgrads contract the row dim in a different order
+    # (standard matmul vs dim-0 contraction), so f32 accumulation may
+    # reassociate — tight allclose instead of bitwise.
+    for a, b in zip(jax.tree_util.tree_leaves(g_base),
+                    jax.tree_util.tree_leaves(g_t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -107,3 +107,38 @@ def test_render_kernel_mlp_variant_matches_xla(nerf_type):
                 np.asarray(out_k[i][key]), np.asarray(out_xla[i][key]),
                 rtol=2e-3, atol=2e-3, err_msg=f"cycle {i} {key}",
             )
+
+def test_train_policy_ipe_transposed_matches_row_major():
+    """parallel.ipe_transposed=True (feature-major kernel IPE, see
+    core/math.integrated_pos_enc_t) must reproduce the row-major fused
+    train path's full train-loss gradients through the pipeline."""
+    import jax.numpy as jnp
+
+    from ddnerf_tpu.train.step import compute_loss, schedule_values
+
+    cfg = (tiny_cfg("DDNerfModel")
+           .replace_at("parallel.compute_dtype", "float32")
+           .replace_at("parallel.pallas_mlp", "train"))
+    rays = make_rays(8)
+    target = jax.random.uniform(jax.random.PRNGKey(7), (8, 3))
+    sched = schedule_values(cfg, 10)
+    rng = jax.random.PRNGKey(3)
+
+    def grads_for(pipe):
+        params = pipe.init_params(jax.random.PRNGKey(0))
+
+        def loss_fn(p):
+            loss, _ = compute_loss(pipe.cfg, pipe, p, rays, target, rng, sched)
+            return loss
+
+        return jax.grad(loss_fn)(params)
+
+    g_base = grads_for(NerfPipeline(cfg))
+    g_t = grads_for(NerfPipeline(cfg.replace_at("parallel.ipe_transposed", True)))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            rtol=1e-5, atol=1e-6 * max(1.0, float(jnp.abs(b).max())),
+        ),
+        g_t, g_base,
+    )
