@@ -100,16 +100,18 @@ def test_block_size_rejection_downgrades_before_xla(monkeypatch):
 
     orig = fused_mlp_bwd.fused_mlp_train_apply
 
-    def picky(params, ipe, dirs, depth_head, interpret=False,
-              compute_dtype=jnp.bfloat16, samples_per_ray=0, stash=False,
-              block_rows=0, raw_lane=False):
+    # Accept the full (current and future) signature: a stale arity here
+    # turns every probe rung into a TypeError and masks the ladder under
+    # test as a total fused-kernel failure.
+    def picky(params, ipe, dirs, depth_head, *args, **kwargs):
+        block_rows = kwargs.get(
+            "block_rows", args[4] if len(args) > 4 else 0
+        )
         if block_rows == 2048:
             raise RuntimeError(
                 "Scoped allocation ... exceeded scoped vmem limit (simulated)"
             )
-        return orig(params, ipe, dirs, depth_head, interpret,
-                    compute_dtype, samples_per_ray, stash, block_rows,
-                    raw_lane)
+        return orig(params, ipe, dirs, depth_head, *args, **kwargs)
 
     monkeypatch.setattr(fused_mlp_bwd, "fused_mlp_train_apply", picky)
 
