@@ -293,6 +293,16 @@ class ParallelConfig:
     # the explicit pads were pure copies.  +0.8% rays/s, bit-identical loss
     # on v5e (PERF.md round-4).
     raw_lane_inputs: bool = True
+    # Run fc_alpha's single-lane dot (and its two gradients) on the VPU
+    # inside the fused kernels instead of lane-padded MXU matmuls: the
+    # alpha head pays 1.5 full [B, hidden] matmul-units across fwd+bwd for
+    # 1/128 useful output lanes (~5% of kernel time at the flagship
+    # shapes).  MEASURED on v5e (PERF.md round-4 ninth pass): train
+    # +0.15-0.7% (within chip variance), render -1.6% — Mosaic already
+    # hides the thin matmuls in the MXU pipeline, and the forward-only
+    # path pays for the serialized VPU reduce.  Default off; the tested
+    # counterfactual that bounds the in-kernel lane-padding waste.
+    alpha_vpu: bool = False
 
 
 @dataclass(frozen=True)

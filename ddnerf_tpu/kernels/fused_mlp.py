@@ -105,6 +105,7 @@ def _kernel(
     samples,
     stash,
     ipe_t,
+    alpha_vpu,
     ipe_ref,
     dirs_ref,
     *refs,
@@ -123,6 +124,13 @@ def _kernel(
     ``ipe_t`` (static): ``ipe_ref`` is TRANSPOSED [F, B] (feature-major —
     see core/math.integrated_pos_enc_t); layer 0 and the skip projection
     contract dim 0 (:func:`_mm_d0`) instead of transposing in-kernel.
+
+    ``alpha_vpu`` (static): fc_alpha has ONE real output lane, so its MXU
+    matmul pays a full [B, hidden] @ [hidden, 128] pass for 1/128 useful
+    lanes.  In this mode ``wa`` is packed as the [1, hidden] row and the
+    alpha dot runs on the VPU (broadcast multiply + lane reduce — the
+    f32 products are exact, only the reduction order differs from the
+    MXU's f32 accumulation), freeing half an MXU matmul-unit per block.
 
     refs = [w0..w7, w5i, b_trunk, wf, bf_wa_packed..., ...] — see the packing
     order in :func:`_pack_params`; out_ref(s) are last.
@@ -160,7 +168,15 @@ def _kernel(
     feat_f32 = _mm(x, wf[:]) + bf[:]
     feat = feat_f32.astype(dtype)
 
-    alpha = _mm(feat, wa[:]) + b_alpha[:]  # [block, LANE], col 0 valid
+    if alpha_vpu:
+        # wa is the [1, hidden] row; [B, 1] result (see docstring).
+        alpha = (
+            jnp.sum(feat.astype(jnp.float32) * wa[:].astype(jnp.float32),
+                    axis=1, keepdims=True)
+            + b_alpha[:, 0:1]
+        )
+    else:
+        alpha = _mm(feat, wa[:]) + b_alpha[:]  # [block, LANE], col 0 valid
 
     if samples:
         rows = ipe.shape[1] if ipe_t else ipe.shape[0]
@@ -183,11 +199,14 @@ def _kernel(
     out_ref[:] = out
 
 
-def _pack_params(params, depth_head, compute_dtype, pad_inputs=True):
+def _pack_params(params, depth_head, compute_dtype, pad_inputs=True,
+                 alpha_vpu=False):
     """Flax param tree -> the kernel's flat weight list (padded/packed).
 
     ``pad_inputs=False`` (RAW_LANE_INPUTS) keeps the input-facing weights at
     their raw contraction width (96 IPE, 27 dirs) to match unpadded inputs.
+    ``alpha_vpu`` packs fc_alpha as its [1, hidden] row for the VPU dot
+    instead of the lane-padded [hidden, LANE] matmul operand.
     """
     c = compute_dtype
     hidden = params["fc_feat"]["kernel"].shape[1]
@@ -210,7 +229,12 @@ def _pack_params(params, depth_head, compute_dtype, pad_inputs=True):
     wf = params["fc_feat"]["kernel"].astype(c)
     bf = params["fc_feat"]["bias"].astype(jnp.float32).reshape(1, -1)
 
-    wa = jnp.pad(params["fc_alpha"]["kernel"], ((0, 0), (0, LANE - 1))).astype(c)
+    if alpha_vpu:
+        wa = params["fc_alpha"]["kernel"].reshape(1, -1).astype(c)
+    else:
+        wa = jnp.pad(
+            params["fc_alpha"]["kernel"], ((0, 0), (0, LANE - 1))
+        ).astype(c)
     b_alpha = jnp.pad(params["fc_alpha"]["bias"], (0, LANE - 1)).astype(
         jnp.float32
     ).reshape(1, -1)
@@ -281,6 +305,7 @@ def fused_mlp_forward(
     stash: bool = False,
     raw_lane: bool = False,
     ipe_transposed: bool = False,
+    alpha_vpu: bool = False,
 ):
     """Evaluate MipMLP/DepthMipMLP on [N, 96] IPE + dir features.
 
@@ -317,7 +342,7 @@ def fused_mlp_forward(
     dirs_p = _pad_to(dirs.astype(compute_dtype), rows=dirs_rows,
                      cols=None if raw else LANE)
     packed = _pack_params(params, depth_head, compute_dtype,
-                          pad_inputs=not raw)
+                          pad_inputs=not raw, alpha_vpu=alpha_vpu)
 
     grid = (n_pad // block_rows,)
     if ipe_transposed:
@@ -354,7 +379,8 @@ def fused_mlp_forward(
         )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, samples_per_ray, stash, ipe_transposed),
+        functools.partial(_kernel, samples_per_ray, stash, ipe_transposed,
+                          alpha_vpu),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,

@@ -84,7 +84,8 @@ def _mm_exact(a, b):
     )
 
 
-def _bwd_kernel(samples, use_stash, ipe_t, ipe_ref, dirs_ref, g_ref, *refs):
+def _bwd_kernel(samples, use_stash, ipe_t, alpha_vpu, ipe_ref, dirs_ref,
+                g_ref, *refs):
     """One row-block: (re)build the forward activations, then the full
     backward.
 
@@ -96,6 +97,13 @@ def _bwd_kernel(samples, use_stash, ipe_t, ipe_ref, dirs_ref, g_ref, *refs):
     The recompute's layer 0 / skip contract dim 0 (fused_mlp._mm_d0) and
     the layer-0/skip wgrads become STANDARD matmuls (ipe_t @ g — no
     in-kernel transposes either way).
+
+    ``alpha_vpu`` (static): fc_alpha's gradients run on the VPU instead of
+    two lane-padded MXU matmuls — ``wa`` is the packed [1, hidden] row,
+    ``d_wa`` is emitted as [1, hidden] (transposed outside the kernel),
+    and the g_feat contribution is the rank-1 broadcast
+    ``g_alpha * wa`` (exact: K == 1, f32 products).  See
+    fused_mlp._kernel's alpha_vpu note for the forward half.
 
     ``use_stash`` (static): read trunk x0..x6 and h from the forward
     kernel's HBM stash (one extra blocked input after the weights) instead
@@ -227,14 +235,30 @@ def _bwd_kernel(samples, use_stash, ipe_t, ipe_ref, dirs_ref, g_ref, *refs):
     accum(d_bd, jnp.sum(g_h, axis=0, keepdims=True))
     g_feat = _mm_bt(g_h_c, wd_feat[:])
 
-    g_a = jnp.concatenate(
-        [g[:, 3:4], jnp.zeros((nb, LANE - 1), cdt)], axis=1
-    )
-    accum(d_wa, _mm_t(feat, g_a))
-    accum(
-        d_ba, jnp.sum(g_a.astype(jnp.float32), axis=0, keepdims=True)
-    )
-    g_feat = g_feat + _mm_bt(g_a, wa[:])
+    if alpha_vpu:
+        g_alpha = g[:, 3:4].astype(jnp.float32)  # [B, 1]
+        accum(
+            d_wa,
+            jnp.sum(feat.astype(jnp.float32) * g_alpha, axis=0,
+                    keepdims=True),
+        )
+        accum(
+            d_ba,
+            jnp.concatenate(
+                [jnp.sum(g_alpha, axis=0, keepdims=True),
+                 jnp.zeros((1, LANE - 1), jnp.float32)], axis=1,
+            ),
+        )
+        g_feat = g_feat + g_alpha * wa[:].astype(jnp.float32)
+    else:
+        g_a = jnp.concatenate(
+            [g[:, 3:4], jnp.zeros((nb, LANE - 1), cdt)], axis=1
+        )
+        accum(d_wa, _mm_t(feat, g_a))
+        accum(
+            d_ba, jnp.sum(g_a.astype(jnp.float32), axis=0, keepdims=True)
+        )
+        g_feat = g_feat + _mm_bt(g_a, wa[:])
 
     g_feat_c = g_feat.astype(cdt)
     accum(d_wf, _mm_t(act(NUM_TRUNK - 1), g_feat_c))
@@ -273,6 +297,7 @@ def fused_mlp_backward(
     acts: jax.Array | None = None,
     raw_lane: bool = False,
     ipe_transposed: bool = False,
+    alpha_vpu: bool = False,
 ) -> dict:
     """Parameter gradients of :func:`fused_mlp_forward` for cotangent ``g``.
 
@@ -310,7 +335,7 @@ def fused_mlp_backward(
     # pure pad traffic per step in the trace digest.
     g_p = _pad_to(g.astype(compute_dtype), rows=n_pad, cols=cols)
     packed = _pack_params(params, depth_head, compute_dtype,
-                          pad_inputs=not raw)
+                          pad_inputs=not raw, alpha_vpu=alpha_vpu)
 
     grid = (n_pad // block_rows,)
 
@@ -335,7 +360,9 @@ def fused_mlp_backward(
         jax.ShapeDtypeStruct((NUM_TRUNK, hidden), f32),            # d_b_trunk
         jax.ShapeDtypeStruct((hidden, hidden), f32),               # d_wf
         jax.ShapeDtypeStruct((1, hidden), f32),                    # d_bf
-        jax.ShapeDtypeStruct((hidden, LANE), f32),                 # d_wa
+        jax.ShapeDtypeStruct(
+            (1, hidden) if alpha_vpu else (hidden, LANE), f32
+        ),                                                         # d_wa
         jax.ShapeDtypeStruct((1, LANE), f32),                      # d_ba
         jax.ShapeDtypeStruct((hidden, dir_hidden), f32),           # d_wd_feat
         jax.ShapeDtypeStruct((dirs_w, dir_hidden), f32),           # d_wd_dirs
@@ -385,7 +412,7 @@ def fused_mlp_backward(
 
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, samples_per_ray, use_stash,
-                          ipe_transposed),
+                          ipe_transposed, alpha_vpu),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -410,7 +437,12 @@ def fused_mlp_backward(
             k = d_w_mid[i - 1]
         grads[f"trunk_{i}"] = {"kernel": k, "bias": d_b_trunk[i]}
     grads["fc_feat"] = {"kernel": d_wf, "bias": d_bf[0]}
-    grads["fc_alpha"] = {"kernel": d_wa[:, :1], "bias": d_ba[0, :1]}
+    if alpha_vpu:
+        # d_wa rode the kernel as the [1, hidden] row; restore [hidden, 1].
+        grads["fc_alpha"] = {"kernel": d_wa.reshape(-1, 1),
+                             "bias": d_ba[0, :1]}
+    else:
+        grads["fc_alpha"] = {"kernel": d_wa[:, :1], "bias": d_ba[0, :1]}
     grads["dir_0"] = {
         "kernel": jnp.concatenate([d_wd_feat, d_wd_dirs[:dir_in]], axis=0),
         "bias": d_bd[0],
@@ -427,12 +459,14 @@ def _zeros(ndim, *_idx):
     return (0,) * ndim
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
+)
 def fused_mlp_train_apply(
     params, ipe, dirs, depth_head: bool, interpret: bool = False,
     compute_dtype=jnp.bfloat16, samples_per_ray: int = 0,
     stash: bool = False, block_rows: int = 0, raw_lane: bool = False,
-    ipe_transposed: bool = False,
+    ipe_transposed: bool = False, alpha_vpu: bool = False,
 ):
     """Fused Pallas forward + fused Pallas backward.
 
@@ -447,6 +481,8 @@ def fused_mlp_train_apply(
     ``ipe_transposed=True``: ``ipe`` is feature-major [96, N] (see
     core/math.integrated_pos_enc_t) — no relayout copies at either
     kernel boundary.
+    ``alpha_vpu=True``: fc_alpha's forward dot and gradients run on the
+    VPU instead of lane-padded MXU matmuls (see _bwd_kernel's note).
     Input gradients are structurally zero (see module docstring); this op
     returns zeros for them, which DCE removes because the callers
     stop-gradient those inputs.
@@ -455,17 +491,19 @@ def fused_mlp_train_apply(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
         block_rows=block_rows or BWD_BLOCK_ROWS, raw_lane=raw_lane,
-        ipe_transposed=ipe_transposed,
+        ipe_transposed=ipe_transposed, alpha_vpu=alpha_vpu,
     )
 
 
 def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype,
-         samples_per_ray, stash, block_rows, raw_lane, ipe_transposed):
+         samples_per_ray, stash, block_rows, raw_lane, ipe_transposed,
+         alpha_vpu):
     out = fused_mlp_forward(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
         stash=stash, block_rows=block_rows or BWD_BLOCK_ROWS,
         raw_lane=raw_lane, ipe_transposed=ipe_transposed,
+        alpha_vpu=alpha_vpu,
     )
     if stash:
         out, acts = out
@@ -474,13 +512,13 @@ def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype,
 
 
 def _bwd(depth_head, interpret, compute_dtype, samples_per_ray, stash,
-         block_rows, raw_lane, ipe_transposed, res, g):
+         block_rows, raw_lane, ipe_transposed, alpha_vpu, res, g):
     params, ipe, dirs, acts = res
     grads = fused_mlp_backward(
         params, ipe, dirs, g, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
         acts=acts, block_rows=block_rows or None, raw_lane=raw_lane,
-        ipe_transposed=ipe_transposed,
+        ipe_transposed=ipe_transposed, alpha_vpu=alpha_vpu,
     )
     return grads, jnp.zeros_like(ipe), jnp.zeros_like(dirs)
 

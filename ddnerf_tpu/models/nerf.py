@@ -310,6 +310,7 @@ class NerfPipeline:
                             samples_per_ray=s,
                             raw_lane=par.raw_lane_inputs,
                             ipe_transposed=ipe_t,
+                            alpha_vpu=par.alpha_vpu,
                         )
                 else:
                     from ddnerf_tpu.kernels.fused_ipe_mlp import (
@@ -400,7 +401,7 @@ class NerfPipeline:
                     out = fk.fused_mlp_train_apply(
                         pp, ipe, dirs, depth, self._pallas_interpret, cdt,
                         spr, stash, self._train_block_rows(),
-                        par.raw_lane_inputs, ipe_t,
+                        par.raw_lane_inputs, ipe_t, par.alpha_vpu,
                     )
                     return jnp.sum(out.astype(jnp.float32))
 
@@ -538,6 +539,7 @@ class NerfPipeline:
                 self._train_block_rows(),
                 self.cfg.parallel.raw_lane_inputs,
                 self._ipe_transposed(),
+                self.cfg.parallel.alpha_vpu,
             )
             return flat.reshape(n, s, out_dim)
         if self._use_pallas(mode):
@@ -567,6 +569,7 @@ class NerfPipeline:
                     samples_per_ray=s,
                     raw_lane=self.cfg.parallel.raw_lane_inputs,
                     ipe_transposed=self._ipe_transposed(),
+                    alpha_vpu=self.cfg.parallel.alpha_vpu,
                 )
                 return flat.reshape(n, s, out_dim)
             # v2 kernel: IPE + viewdir PE + full MLP in VMEM; raw means/covs

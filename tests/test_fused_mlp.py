@@ -129,3 +129,29 @@ def test_ipe_transposed_per_ray_dirs():
         rays_per_block=2, ipe_transposed=True,
     )
     np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
+@pytest.mark.parametrize("depth_head", [False, True])
+def test_alpha_vpu_forward_matches_flax(depth_head):
+    """alpha_vpu computes fc_alpha's single lane on the VPU (broadcast
+    multiply + lane reduce); the output must still match the flax module,
+    and every non-alpha lane must be bit-identical to the MXU path (only
+    the alpha reduction order changes)."""
+    module, params, ipe, dirs = _setup(depth_head)
+    expect = module.apply({"params": params}, ipe, dirs)
+    base = fused_mlp_forward(
+        params, ipe, dirs, depth_head=depth_head, block_rows=32,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    got = fused_mlp_forward(
+        params, ipe, dirs, depth_head=depth_head, block_rows=32,
+        compute_dtype=jnp.float32, interpret=True, alpha_vpu=True,
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+    keep = [i for i in range(base.shape[-1]) if i != 3]
+    np.testing.assert_array_equal(
+        np.asarray(base)[:, keep], np.asarray(got)[:, keep]
+    )
+    np.testing.assert_allclose(
+        np.asarray(base)[:, 3], np.asarray(got)[:, 3], rtol=1e-5, atol=1e-5
+    )

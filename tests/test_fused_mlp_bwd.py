@@ -309,3 +309,76 @@ def test_ipe_transposed_backward_matches_row_major(stash):
                     jax.tree_util.tree_leaves(g_t)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("depth_head", [False, True])
+def test_alpha_vpu_backward_matches_autodiff(depth_head):
+    """alpha_vpu moves fc_alpha's dot + both gradients off the MXU
+    (broadcast multiply + reduces); every gradient must still track
+    jax.grad of the jnp twin."""
+    _, params, ipe, dirs = _setup(depth_head, n=40)
+    out_dim = 6 if depth_head else 4
+    rng = np.random.default_rng(11)
+    g = jnp.asarray(rng.standard_normal((40, out_dim)).astype(np.float32))
+    got = fused_mlp_backward(
+        params, ipe, dirs, g, depth_head=depth_head, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True, alpha_vpu=True,
+    )
+    want = _ref_grads(params, ipe, dirs, depth_head, g)
+    assert got["fc_alpha"]["kernel"].shape == want["fc_alpha"]["kernel"].shape
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4),
+        got, want,
+    )
+
+
+@pytest.mark.parametrize("stash", [False, True])
+def test_alpha_vpu_train_apply_matches_default(stash):
+    """The VPU alpha path's products are exact (K == 1 broadcast for the
+    dgrad; f32 multiplies for the dots), so against the MXU path only the
+    reduction order differs — gradients must agree tightly through the
+    full custom_vjp in both stash modes."""
+    _, params, ipe, dirs = _setup(True, n=24)
+    sg = jax.lax.stop_gradient
+
+    def loss(p, vpu):
+        out = fused_mlp_train_apply(
+            p, sg(ipe), sg(dirs), True, True, jnp.bfloat16, 0, stash,
+            16, True, False, vpu,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_mxu = jax.grad(lambda p: loss(p, False))(params)
+    g_vpu = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4),
+        g_mxu, g_vpu,
+    )
+
+
+def test_alpha_vpu_composes_with_per_ray_dirs():
+    """alpha_vpu + per-ray dirs + stash: the full production static set."""
+    rng = np.random.default_rng(13)
+    rays, s = 8, 6
+    n = rays * s
+    ipe = jnp.asarray(rng.standard_normal((n, 96)).astype(np.float32))
+    dirs = jnp.asarray(rng.standard_normal((rays, 27)).astype(np.float32))
+    module = DepthMipMLP(hidden_size=64)
+    params = module.init(
+        jax.random.PRNGKey(3), ipe, jnp.zeros((n, 27))
+    )["params"]
+    sg = jax.lax.stop_gradient
+
+    def loss(p, vpu):
+        out = fused_mlp_train_apply(
+            p, sg(ipe), sg(dirs), True, True, jnp.bfloat16, s, True,
+            0, True, False, vpu,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_mxu = jax.grad(lambda p: loss(p, False))(params)
+    g_vpu = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4),
+        g_mxu, g_vpu,
+    )
