@@ -272,6 +272,7 @@ _SWITCHES = {
     "relu_bf16_residual": False,
     "split_skip_layer": False,
     "ipe_double_angle": False,
+    "alpha_vpu": True,
 }
 
 
