@@ -75,20 +75,28 @@ def main():
             mod = importlib.import_module(modname)
             undo.append((mod, flag, getattr(mod, flag)))
             setattr(mod, flag, eval(value))
-        cfg = Config.from_dict(
-            {
-                "nerf": {
-                    "type": "DDNerfModel",
-                    "coarse_hidden_size": 256,
-                    "fine_hidden_size": 256,
-                    "train": {"num_coarse": 32, "num_fine": 32},
-                    "validation": {"num_coarse": 32, "num_fine": 32,
-                                   "perturb": False, "chunksize": args.chunk},
-                },
-                "dataset": {"type": "blender", "synthetic": True},
-                "parallel": {"compute_dtype": "bfloat16", **cfg_extra.get("parallel", {})},
-            }
-        ).resolved()
+        base = {
+            "nerf": {
+                "type": "DDNerfModel",
+                "coarse_hidden_size": 256,
+                "fine_hidden_size": 256,
+                "train": {"num_coarse": 32, "num_fine": 32},
+                "validation": {"num_coarse": 32, "num_fine": 32,
+                               "perturb": False, "chunksize": args.chunk},
+            },
+            "dataset": {"type": "blender", "synthetic": True},
+            "parallel": {"compute_dtype": "bfloat16"},
+        }
+
+        def deep_merge(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                    deep_merge(dst[k], v)
+                else:
+                    dst[k] = v
+
+        deep_merge(base, cfg_extra)
+        cfg = Config.from_dict(base).resolved()
         pipe = NerfPipeline(cfg)
         state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
         sched = ScheduleValues.for_eval(cfg)

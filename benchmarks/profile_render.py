@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--logdir", default="/tmp/ddnerf_profile_render")
+    ap.add_argument(
+        "--pallas-mlp", default="auto",
+        help="kernel policy for the profiled renderer (production: auto)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -50,7 +54,8 @@ def main():
                                "perturb": False, "chunksize": args.chunk},
             },
             "dataset": {"type": "blender", "synthetic": True},
-            "parallel": {"compute_dtype": "bfloat16"},
+            "parallel": {"compute_dtype": "bfloat16",
+                         "pallas_mlp": args.pallas_mlp},
         }
     ).resolved()
     pipe = NerfPipeline(cfg)

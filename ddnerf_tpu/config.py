@@ -245,6 +245,13 @@ class ParallelConfig:
     # fused_ipe_mlp with the IPE in-kernel (measured a net loss vs XLA,
     # kept as the A/B counterfactual).
     render_kernel_variant: str = "mlp"
+    # Row-block size for the forward-only render kernel (the "mlp"
+    # variant); 0 = the kernel default (32 rays/block = 1024 rows at 32
+    # samples).  The render kernel runs in per-ray dirs mode, so the value
+    # is rounded down to whole rays (rays_per_block = rows // samples).
+    # Independent of bwd_block_rows: no stash/backward on this path, so
+    # its optimal block can differ from the train pair's.
+    render_block_rows: int = 0
     # relu saves its OUTPUT (bf16) as the VJP residual instead of the
     # bit-packed predicate mask (models/mlp.py rationale + measurements).
     relu_save_output: bool = True

@@ -100,6 +100,20 @@ def _expand_per_ray(per_ray, rows: int, samples: int):
 NUM_STASH = 8
 STASH_H = 7  # slab index of h
 
+# Mosaic per-kernel VMEM budget override (None = Mosaic's default, ~3/4 of
+# the scoped-vmem cap).  A/B lever for deeper double-buffering of the stash
+# stream at large blocks (NOTES_NEXT round-4: expected neutral — both kernel
+# directions measure compute-bound at ~96% of matmul roofline).
+MOSAIC_VMEM_LIMIT_BYTES = None
+
+
+def _compiler_params(**kw):
+    from jax.experimental.pallas import tpu as _pltpu
+
+    if MOSAIC_VMEM_LIMIT_BYTES is not None:
+        kw["vmem_limit_bytes"] = MOSAIC_VMEM_LIMIT_BYTES
+    return _pltpu.CompilerParams(**kw)
+
 
 def _kernel(
     samples,
@@ -385,6 +399,7 @@ def fused_mlp_forward(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(ipe_p, dirs_p, *packed)
     if stash:

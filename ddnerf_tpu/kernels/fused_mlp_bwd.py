@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ddnerf_tpu.kernels.fused_mlp import (
     LANE,
+    _compiler_params,
     NUM_STASH,
     NUM_TRUNK,
     SKIP_LAYER,
@@ -418,7 +419,7 @@ def fused_mlp_backward(
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch_shapes,
-        compiler_params=pltpu.CompilerParams(
+        compiler_params=_compiler_params(
             dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,

@@ -302,8 +302,13 @@ class NerfPipeline:
                                     cdt)
                     dirs = jnp.zeros((n, 27), cdt)
 
+                    kw = {}
+                    rpb = self._render_rays_per_block(s)
+                    if rpb is not None:
+                        kw["rays_per_block"] = rpb
+
                     def f(pp, ipe=ipe, dirs=dirs, depth=depth, s=s,
-                          ipe_t=ipe_t):
+                          ipe_t=ipe_t, kw=kw):
                         return fused_mlp_forward(
                             pp, ipe, dirs, depth_head=depth,
                             compute_dtype=cdt, interpret=False,
@@ -311,6 +316,7 @@ class NerfPipeline:
                             raw_lane=par.raw_lane_inputs,
                             ipe_transposed=ipe_t,
                             alpha_vpu=par.alpha_vpu,
+                            **kw,
                         )
                 else:
                     from ddnerf_tpu.kernels.fused_ipe_mlp import (
@@ -341,6 +347,21 @@ class NerfPipeline:
         t.join()
         if box:
             raise box[0]
+
+    def _render_rays_per_block(self, s: int) -> int | None:
+        """rays_per_block for the forward-only render kernel, derived from
+        ``parallel.render_block_rows`` (None = the kernel default).  The
+        render path runs in per-ray dirs mode, where the row block is
+        rays_per_block whole rays (fused_mlp.plan_blocks)."""
+        rows = self.cfg.parallel.render_block_rows
+        if not rows:
+            return None
+        rpb = max(1, rows // s)
+        if rpb >= 16:
+            # Keep the row block a multiple of 16 (the bf16 sublane tile)
+            # even when s is odd (validation s = num_coarse + 1 = 33).
+            rpb -= rpb % 16
+        return rpb
 
     def _train_block_rows(self) -> int:
         """The fused train kernels' row-block size actually in effect:
@@ -559,6 +580,10 @@ class NerfPipeline:
                     rays.viewdirs, num_freqs=4
                 )
                 cdt = _dtype_of(self.cfg)
+                kw = {}
+                rpb = self._render_rays_per_block(s)
+                if rpb is not None:
+                    kw["rays_per_block"] = rpb
                 flat = fused_mlp_forward(
                     params,
                     ipe.astype(cdt),
@@ -570,6 +595,7 @@ class NerfPipeline:
                     raw_lane=self.cfg.parallel.raw_lane_inputs,
                     ipe_transposed=self._ipe_transposed(),
                     alpha_vpu=self.cfg.parallel.alpha_vpu,
+                    **kw,
                 )
                 return flat.reshape(n, s, out_dim)
             # v2 kernel: IPE + viewdir PE + full MLP in VMEM; raw means/covs

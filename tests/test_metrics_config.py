@@ -268,6 +268,7 @@ _SWITCHES = {
     "kernel_per_ray_dirs": True,
     "bwd_block_rows": 512,
     "render_kernel_variant": "mlp",
+    "render_block_rows": 2048,
     "relu_save_output": False,
     "relu_bf16_residual": False,
     "split_skip_layer": False,

@@ -108,6 +108,40 @@ def test_render_kernel_mlp_variant_matches_xla(nerf_type):
                 rtol=2e-3, atol=2e-3, err_msg=f"cycle {i} {key}",
             )
 
+def test_render_block_rows_is_blocking_only():
+    """parallel.render_block_rows re-tiles the forward-only render kernel
+    (rays_per_block = rows // samples, plan_blocks) without touching the
+    math: per-row outputs are row-independent, so any block size must
+    reproduce the default bit-for-bit."""
+    import ddnerf_tpu.models.nerf as nerf_mod
+
+    cfg = (tiny_cfg("DDNerfModel")
+           .replace_at("parallel.compute_dtype", "float32")
+           .replace_at("parallel.use_pallas_mlp", True))
+    rays = make_rays(8)
+    sched = ScheduleValues.for_eval(cfg)
+
+    old = nerf_mod._RENDER_KERNEL_VARIANT
+    nerf_mod._RENDER_KERNEL_VARIANT = "mlp"
+    try:
+        pipe = NerfPipeline(cfg)
+        params = pipe.init_params(jax.random.PRNGKey(0))
+        out = pipe.render_rays(params, rays, jax.random.PRNGKey(1), sched,
+                               "validation")
+        pipe_b = NerfPipeline(cfg.replace_at("parallel.render_block_rows", 64))
+        out_b = pipe_b.render_rays(params, rays, jax.random.PRNGKey(1), sched,
+                                   "validation")
+    finally:
+        nerf_mod._RENDER_KERNEL_VARIANT = old
+
+    for i in (0, 1):
+        for key in ("rgb", "disp", "depth", "weights"):
+            np.testing.assert_array_equal(
+                np.asarray(out_b[i][key]), np.asarray(out[i][key]),
+                err_msg=f"cycle {i} {key}",
+            )
+
+
 def test_train_policy_ipe_transposed_matches_row_major():
     """parallel.ipe_transposed=True (feature-major kernel IPE, see
     core/math.integrated_pos_enc_t) must reproduce the row-major fused
