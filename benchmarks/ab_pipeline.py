@@ -1,0 +1,98 @@
+"""Serial vs dispatch-pipelined multi-image render (eval/video workload).
+
+render_images_from_poses dispatches image i+1's device program before
+fetching image i's maps, so device compute overlaps the device->host map
+transfer (which otherwise strictly serializes with it: a TPU program and
+a host fetch of its outputs cannot overlap for the SAME image).  The f32
+all-maps fetch at 800x800 is comparable to device time on relayed links,
+so the overlap is worth ~+50% multi-image throughput there (PERF.md
+round-4 tenth pass); on fast PCIe hosts the win shrinks to the fetch
+share but never reverses — per-image outputs are identical either way.
+
+Run:  python benchmarks/ab_pipeline.py [--size 800] [--images 6] [--rounds 3]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from ddnerf_tpu.utils.platform import honor_env_platforms
+
+    honor_env_platforms()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="800")
+    ap.add_argument("--images", type=int, default=6)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--chunk", type=int, default=16384)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from ddnerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from ddnerf_tpu.config import Config
+    from ddnerf_tpu.data.synthetic import pose_spherical
+    from ddnerf_tpu.models.nerf import NerfPipeline, ScheduleValues
+    from ddnerf_tpu.render.renderer import ImageRenderer
+    from ddnerf_tpu.train.state import create_train_state
+
+    cfg = Config.from_dict(
+        {
+            "nerf": {
+                "type": "DDNerfModel",
+                "coarse_hidden_size": 256,
+                "fine_hidden_size": 256,
+                "train": {"num_coarse": 32, "num_fine": 32},
+                "validation": {"num_coarse": 32, "num_fine": 32,
+                               "perturb": False, "chunksize": args.chunk},
+            },
+            "dataset": {"type": "blender", "synthetic": True},
+            "parallel": {"compute_dtype": "bfloat16", "pallas_mlp": "auto"},
+        }
+    ).resolved()
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    sched = ScheduleValues.for_eval(cfg)
+    renderer = ImageRenderer(cfg, pipe, mode="render")
+
+    if "x" in args.size:
+        w, h = (int(v) for v in args.size.split("x"))
+    else:
+        w = h = int(args.size)
+    focal = 0.5 * w / np.tan(0.5 * 0.6911)
+    poses = [pose_spherical(30.0 + 10 * i, -30.0, 4.0)
+             for i in range(args.images)]
+    m = args.images
+
+    renderer.render_image_from_pose(
+        state.params, poses[0], h, w, focal, sched=sched
+    )  # compile + warm
+    for r in range(args.rounds):
+        t0 = time.perf_counter()
+        for p in poses:
+            renderer.render_image_from_pose(state.params, p, h, w, focal,
+                                            sched=sched)
+        serial = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in renderer.render_images_from_poses(state.params, poses, h, w,
+                                                   focal, sched=sched):
+            pass
+        piped = time.perf_counter() - t0
+        print(
+            f"round {r}: serial {serial / m:.3f} s/img "
+            f"({h * w * m / serial:,.0f} rays/s) | pipelined "
+            f"{piped / m:.3f} s/img ({h * w * m / piped:,.0f} rays/s)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

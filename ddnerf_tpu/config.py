@@ -241,9 +241,13 @@ class ParallelConfig:
     # Which kernel backs the "render"/"auto"/"all" fused policies: "mlp" =
     # fused_mlp with the IPE in XLA (the train kernel's integration recipe
     # applied forward-only; +21.9% median over the XLA render path on the
-    # 800x800 whole-image A/B, v5e — PERF.md round-4 sixth pass), "ipe" =
-    # fused_ipe_mlp with the IPE in-kernel (measured a net loss vs XLA,
-    # kept as the A/B counterfactual).
+    # 800x800 whole-image A/B, v5e — PERF.md round-4 sixth pass), "ipe2" =
+    # in-kernel IPE with the modern recipe (raw [N, 3] f32 means/covs in,
+    # per-ray dirs, merged heads — fused_mlp.fused_enc_mlp_forward; no
+    # [N, 96] feature array in HBM and no boundary relayout copies),
+    # "ipe" = the retired fused_ipe_mlp (measured a net loss vs XLA —
+    # [N, 128]-padded f32 inputs, per-sample dirs; kept as the A/B
+    # counterfactual).
     render_kernel_variant: str = "mlp"
     # Row-block size for the forward-only render kernel (the "mlp"
     # variant); 0 = the kernel default (32 rays/block = 1024 rows at 32

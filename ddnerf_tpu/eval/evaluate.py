@@ -109,13 +109,18 @@ def eval_model(
     n_images = min(max_images, len(val_ds))
     model_time = []
 
-    for i in range(n_images):
-        pose, gt = val_ds.get_next_validation_pose()
+    # Collect the round-robin poses up front so the renderer can pipeline:
+    # image i+1's device program is dispatched before image i's maps are
+    # fetched (render_images_from_poses), overlapping compute with the
+    # host transfer.  Per-image results are identical to the serial loop.
+    poses_gts = [val_ds.get_next_validation_pose() for _ in range(n_images)]
+    outs = iter(renderer.render_images_from_poses(
+        state.params, [p for p, _ in poses_gts], val_ds.H, val_ds.W,
+        val_ds.focal, sched=sched,
+    ))
+    for i, (pose, gt) in enumerate(poses_gts):
         t0 = time.time()
-        # Device-side ray generation: the upload is one pose per image.
-        out = renderer.render_image_from_pose(
-            state.params, pose, val_ds.H, val_ds.W, val_ds.focal, sched=sched
-        )
+        out = next(outs)  # waits on dispatch + this image's map fetch
         model_time.append(time.time() - t0)
 
         if extract_ptc and primary:

@@ -151,8 +151,23 @@ def _kernel(
     """
     if stash:
         out_ref, stash_ref = refs[-2], refs[-1]
+        w = refs[:-2]
     else:
-        out_ref = refs[-1]
+        out_ref, stash_ref = refs[-1], None
+        w = refs[:-1]
+    ipe = ipe_ref[:]
+    rows = ipe.shape[1] if ipe_t else ipe.shape[0]
+    mm_in = _mm_d0 if ipe_t else _mm
+    _net_body(ipe, dirs_ref, samples, stash, alpha_vpu, mm_in, rows, w,
+              out_ref, stash_ref)
+
+
+def _net_body(ipe, dirs_ref, samples, stash, alpha_vpu, mm_in, rows, refs,
+              out_ref, stash_ref):
+    """Trunk + heads of the fused network, shared by the plain kernel
+    (:func:`_kernel`, HBM-resident IPE) and the encoding kernel
+    (:func:`_enc_kernel`, IPE computed in VMEM).  ``refs`` is exactly the
+    :func:`_pack_params` weight list."""
     (w_trunk0, *w_trunk_rest) = refs[0:NUM_TRUNK]
     w5i = refs[NUM_TRUNK]
     b_trunk = refs[NUM_TRUNK + 1]  # [NUM_TRUNK, hidden] f32
@@ -163,9 +178,7 @@ def _kernel(
     b_heads = refs[NUM_TRUNK + 9]  # [1, LANE]
     b_alpha = refs[NUM_TRUNK + 10]  # [1, LANE], col 0 valid
 
-    ipe = ipe_ref[:]
     dtype = ipe.dtype
-    mm_in = _mm_d0 if ipe_t else _mm
 
     x = None
     trunk = [w_trunk0, *w_trunk_rest]
@@ -193,7 +206,6 @@ def _kernel(
         alpha = _mm(feat, wa[:]) + b_alpha[:]  # [block, LANE], col 0 valid
 
     if samples:
-        rows = ipe.shape[1] if ipe_t else ipe.shape[0]
         dproj = _expand_per_ray(
             _mm(dirs_ref[:], wd_dirs[:]), rows, samples
         )
@@ -211,6 +223,132 @@ def _kernel(
         [heads[:, 0:3], alpha[:, 0:1], heads[:, 3 : LANE - 1]], axis=-1
     )
     out_ref[:] = out
+
+
+_MAX_DEG = 16
+_IPE_FEAT = 2 * 3 * _MAX_DEG  # 96
+_TRIG_T = 100.0 * float(jnp.pi)  # core/math._TRIG_THRESHOLD
+
+
+def _ipe_constants():
+    """Constants for the in-kernel IPE (:func:`_enc_kernel`).
+
+    ``rep [3, 96]``: exact 0/1 replication matrix — column ``l*3+j`` (sin
+    half) and ``48+l*3+j`` (cos half) select coordinate ``j``, so a
+    ``precision=HIGHEST`` contraction with it broadcasts the [B, 3]
+    means/covs to the (l, dim)-ordered 96-lane layout EXACTLY (the
+    one-hot-matmul trick of core/sampling.fetch_sections / _ray_one_hot).
+    ``fvec [1, 96]``: per-lane frequency ``2^l``; ``b_y [1, 96]``: the
+    +π/2 phase of the cos half (core/math.integrated_pos_enc direct path).
+    """
+    import numpy as np
+
+    rep = np.zeros((3, _IPE_FEAT), np.float32)
+    fvec = np.zeros((1, _IPE_FEAT), np.float32)
+    b_y = np.zeros((1, _IPE_FEAT), np.float32)
+    for l in range(_MAX_DEG):
+        for j in range(3):
+            rep[j, l * 3 + j] = 1.0
+            rep[j, 48 + l * 3 + j] = 1.0
+            fvec[0, l * 3 + j] = 2.0**l
+            fvec[0, 48 + l * 3 + j] = 2.0**l
+    b_y[0, 48:] = 0.5 * np.pi
+    return jnp.asarray(rep), jnp.asarray(fvec), jnp.asarray(b_y)
+
+
+def _mm_hi(a, b):
+    """f32 HIGHEST-precision contraction — exact for the 0/1 ``rep``
+    operand (the fetch-trick guarantee)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _enc_kernel(samples, alpha_vpu, cdt, means_ref, covs_ref, dirs_ref,
+                rep_ref, fvec_ref, b_y_ref, *refs):
+    """Forward-only kernel computing the IPE in VMEM from raw [B, 3]
+    means/covs — the [N, 96] feature array never exists in HBM, removing
+    the XLA-side IPE assembly + both kernel-boundary relayout copies (the
+    two biggest non-matmul buckets of the render digest).  The encoding is
+    the reference's direct form (core/math.integrated_pos_enc,
+    math_utils.py:112-144): ``exp(-0.5·4^l σ²) · safe_sin(2^l x [+ π/2])``,
+    evaluated per block on the VPU where Mosaic can overlap it with the
+    trunk matmuls.  No stash/backward: render/eval only."""
+    out_ref = refs[-1]
+    w = refs[:-1]
+    means = means_ref[:].astype(jnp.float32)
+    covs = covs_ref[:].astype(jnp.float32)
+    f = fvec_ref[:]
+    y = _mm_hi(means, rep_ref[:]) * f + b_y_ref[:]
+    v = _mm_hi(covs, rep_ref[:]) * (f * f)
+    y = jnp.where(jnp.abs(y) < _TRIG_T, y, y % _TRIG_T)  # safe_sin wrap
+    ipe = (jnp.exp(-0.5 * v) * jnp.sin(y)).astype(cdt)
+    _net_body(ipe, dirs_ref, samples, False, alpha_vpu, _mm,
+              means.shape[0], w, out_ref, None)
+
+
+def fused_enc_mlp_forward(
+    params: dict,
+    means: jax.Array,
+    covs: jax.Array,
+    dirs: jax.Array,
+    *,
+    depth_head: bool,
+    samples_per_ray: int,
+    rays_per_block: int = 32,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    alpha_vpu: bool = False,
+) -> jax.Array:
+    """Forward pass from raw ``means/covs [N, 3]`` (f32, ray-major rows)
+    and PER-RAY ``dirs [N // K, 27]`` PE features, with the IPE computed
+    inside the kernel (:func:`_enc_kernel`).  Returns [N, 4 or 6] f32 —
+    identical contract to :func:`fused_mlp_forward` fed
+    ``integrated_pos_enc(..., double_angle=False)``.
+    """
+    if samples_per_ray <= 0:
+        raise ValueError("fused_enc_mlp_forward requires per-ray dirs "
+                         "(samples_per_ray=K)")
+    n = means.shape[0]
+    out_dim = 6 if depth_head else 4
+    n_pad, block_rows, dirs_block = plan_blocks(
+        n, samples_per_ray, 0, rays_per_block
+    )
+    dirs_rows = n_pad // samples_per_ray
+
+    means_p = _pad_to(means.astype(jnp.float32), rows=n_pad)
+    covs_p = _pad_to(covs.astype(jnp.float32), rows=n_pad)
+    dirs_p = _pad_to(dirs.astype(compute_dtype), rows=dirs_rows)
+    consts = _ipe_constants()
+    packed = _pack_params(params, depth_head, compute_dtype,
+                          pad_inputs=False, alpha_vpu=alpha_vpu)
+
+    grid = (n_pad // block_rows,)
+
+    def row_spec(rows, width):
+        return pl.BlockSpec((rows, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        row_spec(block_rows, 3),
+        row_spec(block_rows, 3),
+        row_spec(dirs_block, dirs_p.shape[1]),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in (*consts, *packed)]
+
+    out = pl.pallas_call(
+        functools.partial(_enc_kernel, samples_per_ray, alpha_vpu,
+                          compute_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(means_p, covs_p, dirs_p, *consts, *packed)
+    return out[:n, :out_dim]
 
 
 def _pack_params(params, depth_head, compute_dtype, pad_inputs=True,

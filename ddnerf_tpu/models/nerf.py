@@ -318,6 +318,26 @@ class NerfPipeline:
                             alpha_vpu=par.alpha_vpu,
                             **kw,
                         )
+                elif variant == "ipe2":
+                    from ddnerf_tpu.kernels.fused_mlp import (
+                        fused_enc_mlp_forward,
+                    )
+
+                    means = jnp.zeros((n * s, 3), jnp.float32)
+                    covs = jnp.full((n * s, 3), 1e-4, jnp.float32)
+                    dirs = jnp.zeros((n, 27), cdt)
+                    kw = {}
+                    rpb = self._render_rays_per_block(s)
+                    if rpb is not None:
+                        kw["rays_per_block"] = rpb
+
+                    def f(pp, means=means, covs=covs, dirs=dirs,
+                          depth=depth, s=s, kw=kw):
+                        return fused_enc_mlp_forward(
+                            pp, means, covs, dirs, depth_head=depth,
+                            samples_per_ray=s, compute_dtype=cdt,
+                            alpha_vpu=par.alpha_vpu, **kw,
+                        )
                 else:
                     from ddnerf_tpu.kernels.fused_ipe_mlp import (
                         fused_ipe_mlp_apply,
@@ -594,6 +614,36 @@ class NerfPipeline:
                     samples_per_ray=s,
                     raw_lane=self.cfg.parallel.raw_lane_inputs,
                     ipe_transposed=self._ipe_transposed(),
+                    alpha_vpu=self.cfg.parallel.alpha_vpu,
+                    **kw,
+                )
+                return flat.reshape(n, s, out_dim)
+            if variant == "ipe2":
+                # In-kernel IPE with the modern recipe: raw [N, 3] f32
+                # means/covs in (no [N, 96] feature array in HBM, no
+                # boundary relayout copies), per-ray dirs PE, merged heads
+                # (kernels/fused_mlp.fused_enc_mlp_forward).  The measured
+                # counterpoint to the retired fused_ipe_mlp, whose loss
+                # traced to [N, 128]-padded f32 inputs + per-sample dirs.
+                from ddnerf_tpu.kernels.fused_mlp import fused_enc_mlp_forward
+
+                dirs_enc = mmath.positional_encoding(
+                    rays.viewdirs, num_freqs=4
+                )
+                cdt = _dtype_of(self.cfg)
+                kw = {}
+                rpb = self._render_rays_per_block(s)
+                if rpb is not None:
+                    kw["rays_per_block"] = rpb
+                flat = fused_enc_mlp_forward(
+                    params,
+                    means.reshape(n * s, 3),
+                    covs.reshape(n * s, 3),
+                    dirs_enc.astype(cdt),
+                    depth_head=depth_head,
+                    samples_per_ray=s,
+                    compute_dtype=cdt,
+                    interpret=self._pallas_interpret,
                     alpha_vpu=self.cfg.parallel.alpha_vpu,
                     **kw,
                 )

@@ -307,21 +307,44 @@ class ImageRenderer:
         (~58 MB at 1080p), and the fetch is uint8.  Works identically on a
         mesh (rows sharded over the data axis).
         """
+        out = self._dispatch_video_pose(params, pose, h, w, focal, rng, sched)
+        return self._fetch_video_frame(out, h, w)
+
+    def _dispatch_video_pose(self, params, pose, h, w, focal, rng, sched):
         if sched is None:
             sched = ScheduleValues.for_eval(self.cfg)
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        n = h * w
         fn, k, _chunk = self._pose_program(h, w, quantize=True)
         keys = jax.random.split(rng, k)
-        rgb_u8, disp_u8 = fn(
+        return fn(
             params, jnp.asarray(pose, jnp.float32),
             jnp.asarray(focal, jnp.float32), keys, sched,
         )
+
+    def _fetch_video_frame(self, out, h, w):
+        rgb_u8, disp_u8 = out
+        n = h * w
         return (
             np.asarray(rgb_u8)[:n].reshape(h, w, 3),
             np.asarray(disp_u8)[:n].reshape(h, w),
         )
+
+    def render_video_frames_from_poses(self, params, poses, h, w, focal,
+                                       sched=None):
+        """Yield ``(rgb_u8, disp_u8)`` frames for each pose with one frame
+        of dispatch lookahead (same overlap as
+        :meth:`render_images_from_poses`): frame i+1 computes on device
+        while the host fetches/encodes frame i."""
+        pending = None
+        for pose in poses:
+            nxt = self._dispatch_video_pose(params, pose, h, w, focal,
+                                            None, sched)
+            if pending is not None:
+                yield self._fetch_video_frame(pending, h, w)
+            pending = nxt
+        if pending is not None:
+            yield self._fetch_video_frame(pending, h, w)
 
     # ------------------------------------------------------------ flat rays
 
@@ -413,18 +436,29 @@ class ImageRenderer:
 
         Works identically on a mesh (rows sharded over the data axis).
         """
+        out, k, chunk = self._dispatch_pose(params, pose, h, w, focal,
+                                            rng, sched)
+        return self._fetch_pose_maps(out, k, chunk, h, w)
+
+    def _dispatch_pose(self, params, pose, h, w, focal, rng, sched):
+        """Enqueue the pose program (JAX async dispatch) WITHOUT fetching —
+        returns (device outputs, k, chunk).  Pairing dispatch and fetch
+        across images lets image i+1's device compute overlap image i's
+        host transfer (:meth:`render_images_from_poses`)."""
         if sched is None:
             sched = ScheduleValues.for_eval(self.cfg)
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        n = h * w
         fn, k, chunk = self._pose_program(h, w, quantize=False)
         keys = jax.random.split(rng, k)
         out = fn(
             params, jnp.asarray(pose, jnp.float32),
             jnp.asarray(focal, jnp.float32), keys, sched,
         )
+        return out, k, chunk
 
+    def _fetch_pose_maps(self, out, k, chunk, h, w):
+        n = h * w
         valid = np.full(k, chunk, np.float64)
         valid[-1] = n - (k - 1) * chunk
         result: Dict[int, Dict[str, np.ndarray]] = {0: {}, 1: {}}
@@ -442,6 +476,26 @@ class ImageRenderer:
                     else:
                         result[i][name] = flat.reshape(h, w)
         return result
+
+    def render_images_from_poses(self, params, poses, h, w, focal,
+                                 sched=None):
+        """Yield per-cycle map dicts for each pose with ONE image of
+        dispatch lookahead: pose i+1's program is enqueued before pose i's
+        maps are fetched, so device compute overlaps the host transfer
+        (which otherwise serializes with it — the f32 map fetch is
+        comparable to device time on slow links; PERF.md round-4 render
+        digest).  Per-image results are identical to calling
+        :meth:`render_image_from_pose` per pose (same per-image rng)."""
+        pending = None
+        for pose in poses:
+            nxt = self._dispatch_pose(params, pose, h, w, focal, None, sched)
+            if pending is not None:
+                yield self._fetch_pose_maps(pending[0], pending[1],
+                                            pending[2], h, w)
+            pending = nxt
+        if pending is not None:
+            yield self._fetch_pose_maps(pending[0], pending[1], pending[2],
+                                        h, w)
 
     # ------------------------------------------------------------- image
 

@@ -63,14 +63,17 @@ def render_model_video(basedir: str, save_images: bool = False, fps: int = 24,
     if max_frames:
         n = min(n, max_frames)
     times = []
+    # Ray generation AND uint8 quantization run on device: the frame
+    # upload is one [4,4] pose, the download two uint8 maps; frames are
+    # dispatched with one frame of lookahead so frame idx+1 renders while
+    # the host encodes frame idx (renderer.render_video_frames_from_poses).
+    frames = iter(renderer.render_video_frames_from_poses(
+        state.params, [val_ds.render_poses[i] for i in range(n)], h, w,
+        val_ds.focal, sched=sched,
+    ))
     for idx in range(n):
-        pose = val_ds.render_poses[idx]
         t0 = time.time()
-        # Ray generation AND uint8 quantization run on device: the frame
-        # upload is one [4,4] pose, the download two uint8 maps.
-        rgb, disp = renderer.render_video_frame_from_pose(
-            state.params, pose, h, w, val_ds.focal, sched=sched
-        )
+        rgb, disp = next(frames)
         times.append(time.time() - t0)
         disp3 = np.stack([disp] * 3, axis=-1)
         frame = np.concatenate([rgb, disp3], axis=1)  # H, 2W, 3

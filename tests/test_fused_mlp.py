@@ -155,3 +155,76 @@ def test_alpha_vpu_forward_matches_flax(depth_head):
     np.testing.assert_allclose(
         np.asarray(base)[:, 3], np.asarray(got)[:, 3], rtol=1e-5, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel IPE ("ipe2" render variant): fused_enc_mlp_forward
+# ---------------------------------------------------------------------------
+
+def _setup_enc(depth_head, rays=5, samples=8, hidden=256, seed=0):
+    from ddnerf_tpu.core import math as mmath
+
+    rng = np.random.default_rng(seed)
+    n = rays * samples
+    means = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32))
+    covs = jnp.asarray(rng.uniform(1e-5, 0.3, (n, 3)).astype(np.float32))
+    dirs_ray = jnp.asarray(rng.standard_normal((rays, 3)).astype(np.float32))
+    pe = mmath.positional_encoding(dirs_ray, num_freqs=4)  # [rays, 27]
+    ipe = mmath.integrated_pos_enc((means, covs), double_angle=False)
+    module = (DepthMipMLP if depth_head else MipMLP)(hidden_size=hidden)
+    pe_rows = jnp.repeat(pe, samples, axis=0)
+    params = module.init(jax.random.PRNGKey(seed), ipe, pe_rows)["params"]
+    return module, params, means, covs, pe, ipe, pe_rows
+
+
+@pytest.mark.parametrize("depth_head", [False, True])
+def test_enc_kernel_matches_flax(depth_head):
+    """In-kernel IPE (direct form, exact one-hot replication) + net must
+    match the flax module fed the XLA direct-form IPE."""
+    module, params, means, covs, pe, ipe, pe_rows = _setup_enc(depth_head)
+    from ddnerf_tpu.kernels.fused_mlp import fused_enc_mlp_forward
+
+    expect = module.apply({"params": params}, ipe, pe_rows)
+    got = fused_enc_mlp_forward(
+        params, means, covs, pe, depth_head=depth_head, samples_per_ray=8,
+        rays_per_block=2, compute_dtype=jnp.float32, interpret=True,
+    )
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_enc_kernel_ipe_is_exact():
+    """The in-kernel encoding itself (one-hot replication at HIGHEST +
+    f32 VPU chain) reproduces core.math.integrated_pos_enc(double_angle=
+    False) bit-for-bit: identity weights would be overkill, so compare
+    through a 1-layer-dominant check — the kernel output with the real
+    net must match the reference twin fed the jnp IPE to f32 fusion
+    tolerance (any encoding error would blow past it at deg 15)."""
+    from ddnerf_tpu.kernels.fused_mlp import (
+        _reference_apply,
+        fused_enc_mlp_forward,
+    )
+
+    _, params, means, covs, pe, ipe, pe_rows = _setup_enc(True, seed=3)
+    expect = _reference_apply(params, ipe, pe_rows, True)
+    got = fused_enc_mlp_forward(
+        params, means, covs, pe, depth_head=True, samples_per_ray=8,
+        rays_per_block=4, compute_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_enc_kernel_rays_per_block_padding():
+    """Ray padding (rays_per_block > rays) must not leak into outputs."""
+    from ddnerf_tpu.kernels.fused_mlp import fused_enc_mlp_forward
+
+    _, params, means, covs, pe, _, _ = _setup_enc(False, rays=3, samples=4)
+    out_a = fused_enc_mlp_forward(
+        params, means, covs, pe, depth_head=False, samples_per_ray=4,
+        rays_per_block=1, compute_dtype=jnp.float32, interpret=True,
+    )
+    out_b = fused_enc_mlp_forward(
+        params, means, covs, pe, depth_head=False, samples_per_ray=4,
+        rays_per_block=8, compute_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(out_a, out_b, rtol=1e-6, atol=1e-7)

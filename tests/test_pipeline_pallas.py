@@ -108,6 +108,40 @@ def test_render_kernel_mlp_variant_matches_xla(nerf_type):
                 rtol=2e-3, atol=2e-3, err_msg=f"cycle {i} {key}",
             )
 
+@pytest.mark.parametrize("nerf_type", ["GeneralMipNerfModel", "DDNerfModel"])
+def test_render_kernel_ipe2_variant_matches_xla(nerf_type):
+    """The in-kernel-IPE render variant (render_kernel_variant="ipe2",
+    fused_enc_mlp_forward) must match the XLA pipeline; the direct-form
+    in-kernel IPE differs from the shipped double-angle recurrence only by
+    float rounding far below the 2e-3 tolerance."""
+    import ddnerf_tpu.models.nerf as nerf_mod
+
+    cfg = tiny_cfg(nerf_type).replace_at("parallel.compute_dtype", "float32")
+    rays = make_rays(8)
+    sched = ScheduleValues.for_eval(cfg)
+
+    pipe_xla = NerfPipeline(cfg)
+    params = pipe_xla.init_params(jax.random.PRNGKey(0))
+    out_xla = pipe_xla.render_rays(params, rays, jax.random.PRNGKey(1),
+                                   sched, "validation")
+
+    old = nerf_mod._RENDER_KERNEL_VARIANT
+    nerf_mod._RENDER_KERNEL_VARIANT = "ipe2"
+    try:
+        pipe_k = NerfPipeline(cfg.replace_at("parallel.use_pallas_mlp", True))
+        out_k = pipe_k.render_rays(params, rays, jax.random.PRNGKey(1),
+                                   sched, "validation")
+    finally:
+        nerf_mod._RENDER_KERNEL_VARIANT = old
+
+    for i in (0, 1):
+        for key in ("rgb", "disp", "depth", "weights"):
+            np.testing.assert_allclose(
+                np.asarray(out_k[i][key]), np.asarray(out_xla[i][key]),
+                rtol=2e-3, atol=2e-3, err_msg=f"cycle {i} {key}",
+            )
+
+
 def test_render_block_rows_is_blocking_only():
     """parallel.render_block_rows re-tiles the forward-only render kernel
     (rays_per_block = rows // samples, plan_blocks) without touching the
