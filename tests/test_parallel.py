@@ -447,3 +447,38 @@ def test_store_sharded_step_with_fused_kernel_scan():
     assert stacked["loss"].shape == (2,)
     assert np.isfinite(np.asarray(stacked["loss"])).all()
     assert int(state.step) == 2
+
+
+def test_pipelined_pose_renders_match_serial():
+    """render_images_from_poses / render_video_frames_from_poses (one image
+    of dispatch lookahead) must reproduce the per-image calls exactly —
+    the lookahead changes scheduling, not values (same per-image rng)."""
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.render.renderer import ImageRenderer
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace_at("nerf.validation.radiance_field_noise_std", 0.0)
+    _, val_ds, cfg = get_datasets(cfg)
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    poses = [val_ds.render_poses[i] for i in range(3)]
+    h, w, focal = val_ds.H, val_ds.W, val_ds.focal
+
+    r = ImageRenderer(cfg, pipe, mesh=None, mode="render",
+                      extract_keys=("rgb", "disp"))
+    serial = [r.render_image_from_pose(state.params, p, h, w, focal)
+              for p in poses]
+    piped = list(r.render_images_from_poses(state.params, poses, h, w, focal))
+    assert len(piped) == len(serial)
+    for a, b in zip(piped, serial):
+        for i in (0, 1):
+            for key in a[i]:
+                np.testing.assert_array_equal(a[i][key], b[i][key])
+
+    serial_v = [r.render_video_frame_from_pose(state.params, p, h, w, focal)
+                for p in poses]
+    piped_v = list(r.render_video_frames_from_poses(state.params, poses,
+                                                    h, w, focal))
+    for (ra, da), (rb, db) in zip(piped_v, serial_v):
+        np.testing.assert_array_equal(ra, rb)
+        np.testing.assert_array_equal(da, db)
