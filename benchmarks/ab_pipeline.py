@@ -44,19 +44,10 @@ def main():
     from ddnerf_tpu.render.renderer import ImageRenderer
     from ddnerf_tpu.train.state import create_train_state
 
+    from benchmarks.common import flagship_render_cfg_dict
+
     cfg = Config.from_dict(
-        {
-            "nerf": {
-                "type": "DDNerfModel",
-                "coarse_hidden_size": 256,
-                "fine_hidden_size": 256,
-                "train": {"num_coarse": 32, "num_fine": 32},
-                "validation": {"num_coarse": 32, "num_fine": 32,
-                               "perturb": False, "chunksize": args.chunk},
-            },
-            "dataset": {"type": "blender", "synthetic": True},
-            "parallel": {"compute_dtype": "bfloat16", "pallas_mlp": "auto"},
-        }
+        flagship_render_cfg_dict(args.chunk, pallas_mlp="auto")
     ).resolved()
     pipe = NerfPipeline(cfg)
     state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))

@@ -75,18 +75,9 @@ def main():
             mod = importlib.import_module(modname)
             undo.append((mod, flag, getattr(mod, flag)))
             setattr(mod, flag, eval(value))
-        base = {
-            "nerf": {
-                "type": "DDNerfModel",
-                "coarse_hidden_size": 256,
-                "fine_hidden_size": 256,
-                "train": {"num_coarse": 32, "num_fine": 32},
-                "validation": {"num_coarse": 32, "num_fine": 32,
-                               "perturb": False, "chunksize": args.chunk},
-            },
-            "dataset": {"type": "blender", "synthetic": True},
-            "parallel": {"compute_dtype": "bfloat16"},
-        }
+        from benchmarks.common import flagship_render_cfg_dict
+
+        base = flagship_render_cfg_dict(args.chunk)
 
         def deep_merge(dst, src):
             for k, v in src.items():

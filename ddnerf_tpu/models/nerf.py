@@ -302,10 +302,7 @@ class NerfPipeline:
                                     cdt)
                     dirs = jnp.zeros((n, 27), cdt)
 
-                    kw = {}
-                    rpb = self._render_rays_per_block(s)
-                    if rpb is not None:
-                        kw["rays_per_block"] = rpb
+                    kw = self._render_kw(s)
 
                     def f(pp, ipe=ipe, dirs=dirs, depth=depth, s=s,
                           ipe_t=ipe_t, kw=kw):
@@ -326,10 +323,7 @@ class NerfPipeline:
                     means = jnp.zeros((n * s, 3), jnp.float32)
                     covs = jnp.full((n * s, 3), 1e-4, jnp.float32)
                     dirs = jnp.zeros((n, 27), cdt)
-                    kw = {}
-                    rpb = self._render_rays_per_block(s)
-                    if rpb is not None:
-                        kw["rays_per_block"] = rpb
+                    kw = self._render_kw(s)
 
                     def f(pp, means=means, covs=covs, dirs=dirs,
                           depth=depth, s=s, kw=kw):
@@ -368,20 +362,22 @@ class NerfPipeline:
         if box:
             raise box[0]
 
-    def _render_rays_per_block(self, s: int) -> int | None:
-        """rays_per_block for the forward-only render kernel, derived from
-        ``parallel.render_block_rows`` (None = the kernel default).  The
+    def _render_kw(self, s: int) -> dict:
+        """Extra kwargs for the forward-only render kernel, derived from
+        ``parallel.render_block_rows`` (empty = the kernel default).  The
         render path runs in per-ray dirs mode, where the row block is
-        rays_per_block whole rays (fused_mlp.plan_blocks)."""
+        rays_per_block whole rays (fused_mlp.plan_blocks); the ray count is
+        kept a multiple of 16 (floor, min 16) so the row block stays a
+        multiple of the bf16 sublane tile even when s is odd (validation
+        s = num_coarse + 1 = 33) — a non-multiple block would make the
+        Mosaic probe reject the kernel and silently fall back to XLA.
+        Used identically by the probe and the dispatch so both compile the
+        same kernel."""
         rows = self.cfg.parallel.render_block_rows
         if not rows:
-            return None
-        rpb = max(1, rows // s)
-        if rpb >= 16:
-            # Keep the row block a multiple of 16 (the bf16 sublane tile)
-            # even when s is odd (validation s = num_coarse + 1 = 33).
-            rpb -= rpb % 16
-        return rpb
+            return {}
+        rpb = rows // s
+        return {"rays_per_block": max(16, rpb - rpb % 16)}
 
     def _train_block_rows(self) -> int:
         """The fused train kernels' row-block size actually in effect:
@@ -600,10 +596,7 @@ class NerfPipeline:
                     rays.viewdirs, num_freqs=4
                 )
                 cdt = _dtype_of(self.cfg)
-                kw = {}
-                rpb = self._render_rays_per_block(s)
-                if rpb is not None:
-                    kw["rays_per_block"] = rpb
+                kw = self._render_kw(s)
                 flat = fused_mlp_forward(
                     params,
                     ipe.astype(cdt),
@@ -631,10 +624,7 @@ class NerfPipeline:
                     rays.viewdirs, num_freqs=4
                 )
                 cdt = _dtype_of(self.cfg)
-                kw = {}
-                rpb = self._render_rays_per_block(s)
-                if rpb is not None:
-                    kw["rays_per_block"] = rpb
+                kw = self._render_kw(s)
                 flat = fused_enc_mlp_forward(
                     params,
                     means.reshape(n * s, 3),

@@ -333,18 +333,14 @@ class ImageRenderer:
     def render_video_frames_from_poses(self, params, poses, h, w, focal,
                                        sched=None):
         """Yield ``(rgb_u8, disp_u8)`` frames for each pose with one frame
-        of dispatch lookahead (same overlap as
-        :meth:`render_images_from_poses`): frame i+1 computes on device
-        while the host fetches/encodes frame i."""
-        pending = None
-        for pose in poses:
-            nxt = self._dispatch_video_pose(params, pose, h, w, focal,
-                                            None, sched)
-            if pending is not None:
-                yield self._fetch_video_frame(pending, h, w)
-            pending = nxt
-        if pending is not None:
-            yield self._fetch_video_frame(pending, h, w)
+        of dispatch lookahead (see :meth:`_pipelined`): frame i+1 computes
+        on device while the host fetches/encodes frame i."""
+        return self._pipelined(
+            poses,
+            lambda p: self._dispatch_video_pose(params, p, h, w, focal,
+                                                None, sched),
+            lambda pend: self._fetch_video_frame(pend, h, w),
+        )
 
     # ------------------------------------------------------------ flat rays
 
@@ -477,25 +473,35 @@ class ImageRenderer:
                         result[i][name] = flat.reshape(h, w)
         return result
 
+    @staticmethod
+    def _pipelined(poses, dispatch, fetch):
+        """One-step-lookahead driver shared by the pipelined pose renderers:
+        dispatch pose i+1's program before fetching pose i's outputs, so
+        device compute overlaps the host transfer (which otherwise strictly
+        serializes with it for the same image)."""
+        pending = None
+        for pose in poses:
+            nxt = dispatch(pose)
+            if pending is not None:
+                yield fetch(pending)
+            pending = nxt
+        if pending is not None:
+            yield fetch(pending)
+
     def render_images_from_poses(self, params, poses, h, w, focal,
                                  sched=None):
         """Yield per-cycle map dicts for each pose with ONE image of
-        dispatch lookahead: pose i+1's program is enqueued before pose i's
-        maps are fetched, so device compute overlaps the host transfer
-        (which otherwise serializes with it — the f32 map fetch is
+        dispatch lookahead (see :meth:`_pipelined` — the f32 map fetch is
         comparable to device time on slow links; PERF.md round-4 render
         digest).  Per-image results are identical to calling
         :meth:`render_image_from_pose` per pose (same per-image rng)."""
-        pending = None
-        for pose in poses:
-            nxt = self._dispatch_pose(params, pose, h, w, focal, None, sched)
-            if pending is not None:
-                yield self._fetch_pose_maps(pending[0], pending[1],
-                                            pending[2], h, w)
-            pending = nxt
-        if pending is not None:
-            yield self._fetch_pose_maps(pending[0], pending[1], pending[2],
-                                        h, w)
+        return self._pipelined(
+            poses,
+            lambda p: self._dispatch_pose(params, p, h, w, focal, None,
+                                          sched),
+            lambda pend: self._fetch_pose_maps(pend[0], pend[1], pend[2],
+                                               h, w),
+        )
 
     # ------------------------------------------------------------- image
 
