@@ -482,3 +482,33 @@ def test_pipelined_pose_renders_match_serial():
     for (ra, da), (rb, db) in zip(piped_v, serial_v):
         np.testing.assert_array_equal(ra, rb)
         np.testing.assert_array_equal(da, db)
+
+
+@requires_multidevice
+def test_pipelined_pose_renders_on_mesh():
+    """The lookahead generator composes with the sharded pose program
+    (render-tile parallelism): same maps as the single-device serial call."""
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.render.renderer import ImageRenderer
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace_at("nerf.validation.radiance_field_noise_std", 0.0)
+    _, val_ds, cfg = get_datasets(cfg)
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    poses = [val_ds.render_poses[i] for i in range(2)]
+    h, w, focal = val_ds.H, val_ds.W, val_ds.focal
+
+    single = ImageRenderer(cfg, pipe, mesh=None, mode="render",
+                           extract_keys=("rgb", "disp"))
+    serial = [single.render_image_from_pose(state.params, p, h, w, focal)
+              for p in poses]
+
+    mesh = pmesh.make_mesh(8)
+    sharded = ImageRenderer(cfg, pipe, mesh=mesh, mode="render",
+                            extract_keys=("rgb", "disp"))
+    piped = list(sharded.render_images_from_poses(state.params, poses,
+                                                  h, w, focal))
+    for a, b in zip(piped, serial):
+        np.testing.assert_allclose(a[1]["rgb"], b[1]["rgb"],
+                                   rtol=2e-4, atol=2e-5)
