@@ -256,6 +256,13 @@ class ParallelConfig:
     # Independent of bwd_block_rows: no stash/backward on this path, so
     # its optimal block can differ from the train pair's.
     render_block_rows: int = 0
+    # Cast the kernel-path IPE features to the compute dtype PER DEGREE,
+    # before the stack/reshape/concat assembly — bit-identical to the
+    # assembled-then-cast features (cast commutes with assembly; pinned by
+    # test) at half the assembly/copy bytes.  Applies only where the
+    # consumer is a fused Pallas kernel (which casts to bf16 regardless);
+    # the XLA module paths keep f32 features.
+    ipe_early_cast: bool = False
     # relu saves its OUTPUT (bf16) as the VJP residual instead of the
     # bit-packed predicate mask (models/mlp.py rationale + measurements).
     relu_save_output: bool = True

@@ -155,15 +155,24 @@ IPE_DOUBLE_ANGLE = None
 IPE_ONE_CONCAT = None
 
 
-def _ipe_double_angle(x, x_cov_diag, min_deg, max_deg):
+def _ipe_double_angle(x, x_cov_diag, min_deg, max_deg, out_dtype=None):
     base = x * (2.0**min_deg)
     s, c = safe_sin(base), safe_cos(base)  # [..., 3]
     sin_feats, cos_feats = [], []
     var_scale = 4.0**min_deg
     for deg in range(min_deg, max_deg):
         w = jnp.exp((-0.5 * var_scale) * x_cov_diag)
-        sin_feats.append(w * s)
-        cos_feats.append(w * c)
+        # out_dtype: cast each per-degree feature BEFORE the stack/reshape/
+        # concat assembly below.  Elementwise cast commutes with assembly,
+        # so the result is bit-identical to casting the assembled [.., 96]
+        # array — but the assembly arrays (and the consumer-facing copy at
+        # a Pallas kernel boundary) carry half the bytes.  The recurrence
+        # itself stays f32 (accuracy note above).
+        sf, cf = w * s, w * c
+        if out_dtype is not None:
+            sf, cf = sf.astype(out_dtype), cf.astype(out_dtype)
+        sin_feats.append(sf)
+        cos_feats.append(cf)
         if deg + 1 < max_deg:
             s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
             var_scale = var_scale * 4.0
@@ -178,7 +187,7 @@ def _ipe_double_angle(x, x_cov_diag, min_deg, max_deg):
 
 
 def integrated_pos_enc(means_covs, min_deg=0, max_deg=16, diag=True,
-                       double_angle=True):
+                       double_angle=True, out_dtype=None):
     """IPE over degrees ``[min_deg, max_deg)`` (math_utils.py:112-144).
 
     Input: ``(means [..., 3], covs [..., 3])`` diagonal Gaussians.
@@ -188,21 +197,28 @@ def integrated_pos_enc(means_covs, min_deg=0, max_deg=16, diag=True,
 
     ``double_angle`` selects the recurrence path (see IPE_DOUBLE_ANGLE above;
     the module global, when not None, overrides this argument).
+    ``out_dtype``: return the features in this dtype, with the cast applied
+    per degree BEFORE assembly on the double-angle path — bit-identical to
+    ``integrated_pos_enc(...).astype(out_dtype)`` (cast commutes with
+    stack/reshape/concat) at half the assembly bytes.  For consumers that
+    cast anyway (the fused Pallas kernels).
     """
     if not diag:
         raise NotImplementedError("full-covariance IPE not used by any config")
     x, x_cov_diag = means_covs
     if IPE_DOUBLE_ANGLE if IPE_DOUBLE_ANGLE is not None else double_angle:
-        return _ipe_double_angle(x, x_cov_diag, min_deg, max_deg)
+        return _ipe_double_angle(x, x_cov_diag, min_deg, max_deg,
+                                 out_dtype=out_dtype)
     scales = jnp.asarray([2.0**i for i in range(min_deg, max_deg)], dtype=x.dtype)
     shape = x.shape[:-1] + (-1,)
     # [..., D, 3] * [L, 1] -> [..., L, 3] -> [..., L*3]
     y = jnp.reshape(x[..., None, :] * scales[:, None], shape)
     y_var = jnp.reshape(x_cov_diag[..., None, :] * scales[:, None] ** 2, shape)
-    return expected_sin(
+    out = expected_sin(
         jnp.concatenate([y, y + 0.5 * jnp.pi], axis=-1),
         jnp.concatenate([y_var] * 2, axis=-1),
     )[0]
+    return out if out_dtype is None else out.astype(out_dtype)
 
 
 def integrated_pos_enc_t(means_covs, min_deg=0, max_deg=16,

@@ -517,7 +517,13 @@ class NerfPipeline:
                 (means.reshape(n * s, 3), covs.reshape(n * s, 3)),
                 double_angle=self.cfg.parallel.ipe_double_angle,
             )
-        return self._ipe(means.reshape(n * s, 3), covs.reshape(n * s, 3))
+        out_dtype = (_dtype_of(self.cfg)
+                     if self.cfg.parallel.ipe_early_cast else None)
+        return mmath.integrated_pos_enc(
+            (means.reshape(n * s, 3), covs.reshape(n * s, 3)),
+            double_angle=self.cfg.parallel.ipe_double_angle,
+            out_dtype=out_dtype,
+        )
 
     def _run_network(self, module, params, rays: RayBatch, t_vals, mode="train"):
         """cast_rays → IPE → viewdir PE → MLP (reference models.py:117-142).

@@ -284,3 +284,25 @@ def test_integrated_pos_enc_t_is_exact_transpose():
         a = mmath.integrated_pos_enc((x, v), double_angle=da)
         b = mmath.integrated_pos_enc_t((x, v), double_angle=da)
         np.testing.assert_array_equal(np.asarray(a).T, np.asarray(b))
+
+
+def test_ipe_early_cast_bit_identical():
+    """integrated_pos_enc(out_dtype=bf16) must equal
+    integrated_pos_enc().astype(bf16) bit-for-bit on both sin/cos paths:
+    the per-degree cast commutes with the stack/reshape/concat assembly."""
+    import jax.numpy as jnp
+
+    from ddnerf_tpu.core import math as m
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-4, 4, (37, 3)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(1e-6, 0.5, (37, 3)).astype(np.float32))
+    for da in (True, False):
+        late = m.integrated_pos_enc((x, v), double_angle=da).astype(
+            jnp.bfloat16
+        )
+        early = m.integrated_pos_enc((x, v), double_angle=da,
+                                     out_dtype=jnp.bfloat16)
+        assert early.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(early, np.float32),
+                                      np.asarray(late, np.float32))
