@@ -263,6 +263,12 @@ class ParallelConfig:
     # consumer is a fused Pallas kernel (which casts to bf16 regardless);
     # the XLA module paths keep f32 features.
     ipe_early_cast: bool = False
+    # Stash the dir-layer activation h in its own exact-width slab instead
+    # of a max(hidden, dir_hidden)-wide slab shared with the trunk slabs —
+    # cuts the activation-stash write+read traffic by ~6% at 256/128
+    # (kernels/fused_mlp.SPLIT_H_STASH rationale).  Bit-identical
+    # gradients: the same values are stashed and read either way.
+    split_h_stash: bool = False
     # relu saves its OUTPUT (bf16) as the VJP residual instead of the
     # bit-packed predicate mask (models/mlp.py rationale + measurements).
     relu_save_output: bool = True

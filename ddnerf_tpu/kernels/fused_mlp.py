@@ -55,6 +55,14 @@ LANE = 128
 # override for benchmarks/ab.py (None = follow the argument).
 RAW_LANE_INPUTS = None
 
+# Trace-time A/B override for the split h-slab stash layout (None = follow
+# the ``split_h_stash`` argument / config.parallel.split_h_stash).  The
+# forward-with-stash kernel writes ~558 GB/s at production shapes (268 MB
+# per network in 0.48 ms) — near the HBM limit — and the combined layout
+# pads the h slab to max(hidden, dir_hidden) lanes (50% of that slab
+# wasted at 256/128).  Split mode stashes h at its exact width.
+SPLIT_H_STASH = None
+
 
 def _mm(a, w):
     return jax.lax.dot_general(
@@ -149,7 +157,10 @@ def _kernel(
     refs = [w0..w7, w5i, b_trunk, wf, bf_wa_packed..., ...] — see the packing
     order in :func:`_pack_params`; out_ref(s) are last.
     """
-    if stash:
+    if stash == 2:  # split: trunk slabs + exact-width h slab
+        out_ref, stash_ref = refs[-3], (refs[-2], refs[-1])
+        w = refs[:-3]
+    elif stash:
         out_ref, stash_ref = refs[-2], refs[-1]
         w = refs[:-2]
     else:
@@ -188,9 +199,13 @@ def _net_body(ipe, dirs_ref, samples, stash, alpha_vpu, mm_in, rows, refs,
             acc = acc + mm_in(ipe, w5i[:])
         x = jnp.maximum(acc + b_trunk[i, :][None, :], 0.0).astype(dtype)
         if stash and i < NUM_TRUNK - 1:
-            # Slabs are max(hidden, dir_hidden) wide; values ride the
-            # first lanes (hidden < dir_hidden only in tiny test models).
-            stash_ref[i, :, 0 : x.shape[-1]] = x
+            if isinstance(stash_ref, tuple):
+                # Split mode: exact-width trunk slabs (no lane padding).
+                stash_ref[0][i, :, :] = x
+            else:
+                # Slabs are max(hidden, dir_hidden) wide; values ride the
+                # first lanes (hidden < dir_hidden only in tiny models).
+                stash_ref[i, :, 0 : x.shape[-1]] = x
 
     feat_f32 = _mm(x, wf[:]) + bf[:]
     feat = feat_f32.astype(dtype)
@@ -214,7 +229,10 @@ def _net_body(ipe, dirs_ref, samples, stash, alpha_vpu, mm_in, rows, refs,
     h = _mm(feat, wd_feat[:]) + dproj + bd[:]
     h = jnp.maximum(h, 0.0).astype(dtype)
     if stash:
-        stash_ref[STASH_H, :, 0 : h.shape[-1]] = h
+        if isinstance(stash_ref, tuple):
+            stash_ref[1][:, :] = h  # exact dir_hidden width
+        else:
+            stash_ref[STASH_H, :, 0 : h.shape[-1]] = h
 
     heads = _mm(h, w_heads[:]) + b_heads[:]  # [block, LANE]: rgb(3), mu(2)
 
@@ -458,6 +476,7 @@ def fused_mlp_forward(
     raw_lane: bool = False,
     ipe_transposed: bool = False,
     alpha_vpu: bool = False,
+    split_h_stash: bool = False,
 ):
     """Evaluate MipMLP/DepthMipMLP on [N, 96] IPE + dir features.
 
@@ -472,7 +491,12 @@ def fused_mlp_forward(
 
     ``stash=True`` additionally returns the [NUM_STASH, N_pad, hidden]
     compute-dtype activation slabs for :func:`fused_mlp_bwd` (the padded
-    row count is internal — pass the array through unchanged).
+    row count is internal — pass the array through unchanged).  With
+    ``split_h_stash=True`` the stash is a TUPLE
+    ``([NUM_STASH-1, N_pad, hidden] trunk, [N_pad, dir_hidden] h)`` —
+    the h slab at its exact width instead of riding a
+    max(hidden, dir_hidden)-wide slab, cutting the stash write+read
+    traffic by dir-layer-width/total when dir_hidden < hidden.
     """
     n = ipe.shape[1] if ipe_transposed else ipe.shape[0]
     ipe_feat = ipe.shape[0] if ipe_transposed else ipe.shape[1]
@@ -512,7 +536,30 @@ def fused_mlp_forward(
         (block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_shape = jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32)
-    if stash:
+    split = SPLIT_H_STASH if SPLIT_H_STASH is not None else split_h_stash
+    stash_mode = (2 if split else 1) if stash else 0
+    if stash_mode == 2:
+        dir_hidden = params["dir_0"]["kernel"].shape[1]
+        out_specs = (
+            out_specs,
+            pl.BlockSpec(
+                (NUM_STASH - 1, block_rows, hidden),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_rows, dir_hidden), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct(
+                (NUM_STASH - 1, n_pad, hidden), compute_dtype
+            ),
+            jax.ShapeDtypeStruct((n_pad, dir_hidden), compute_dtype),
+        )
+    elif stash_mode == 1:
         dir_hidden = params["dir_0"]["kernel"].shape[1]
         stash_w = max(hidden, dir_hidden)
         out_specs = (
@@ -531,8 +578,8 @@ def fused_mlp_forward(
         )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, samples_per_ray, stash, ipe_transposed,
-                          alpha_vpu),
+        functools.partial(_kernel, samples_per_ray, stash_mode,
+                          ipe_transposed, alpha_vpu),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -540,7 +587,9 @@ def fused_mlp_forward(
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(ipe_p, dirs_p, *packed)
-    if stash:
+    if stash_mode == 2:
+        return out[0][:n, :out_dim], (out[1], out[2])
+    if stash_mode == 1:
         return out[0][:n, :out_dim], out[1]
     return out[:n, :out_dim]
 

@@ -117,8 +117,13 @@ def _bwd_kernel(samples, use_stash, ipe_t, alpha_vpu, ipe_ref, dirs_ref,
     mode only) the activation scratch.  Outputs accumulate across the
     (sequential) grid.
     """
-    if use_stash:
+    if use_stash == 2:  # split layout: trunk slabs + exact-width h slab
+        stash_ref, h_ref = refs[-15], refs[-14]
+        outs = refs[-13:]
+        acts_ref = None
+    elif use_stash:
         stash_ref = refs[-14]
+        h_ref = None
         outs = refs[-13:]
         acts_ref = None
     else:
@@ -151,10 +156,15 @@ def _bwd_kernel(samples, use_stash, ipe_t, alpha_vpu, ipe_ref, dirs_ref,
 
     if use_stash:
         # ---- activations from the forward kernel's stash ------------------
-        hidden_w = wf.shape[0]  # slabs are max(hidden, dir_hidden) wide
+        hidden_w = wf.shape[0]  # combined slabs are max(hidden, dir_hidden)
 
-        def act(i):
-            return x7 if i == NUM_TRUNK - 1 else stash_ref[i, :, 0:hidden_w]
+        if use_stash == 2:
+            def act(i):
+                return x7 if i == NUM_TRUNK - 1 else stash_ref[i, :, :]
+        else:
+            def act(i):
+                return (x7 if i == NUM_TRUNK - 1
+                        else stash_ref[i, :, 0:hidden_w])
 
         x7 = jnp.maximum(
             _mm(act(NUM_TRUNK - 2), w_trunk[NUM_TRUNK - 1][:])
@@ -162,7 +172,10 @@ def _bwd_kernel(samples, use_stash, ipe_t, alpha_vpu, ipe_ref, dirs_ref,
             0.0,
         ).astype(cdt)
         feat = (_mm(x7, wf[:]) + bf[:]).astype(cdt)
-        h = stash_ref[STASH_H, :, 0 : wd_feat.shape[1]]
+        if use_stash == 2:
+            h = h_ref[:, :]
+        else:
+            h = stash_ref[STASH_H, :, 0 : wd_feat.shape[1]]
     else:
         # ---- forward recompute, activations in VMEM scratch ---------------
         def act(i):
@@ -381,7 +394,8 @@ def fused_mlp_backward(
         for s in out_shapes
     )
 
-    use_stash = acts is not None
+    split_acts = isinstance(acts, tuple)
+    use_stash = (2 if split_acts else 1) if acts is not None else 0
     inputs = [ipe_p, dirs_p, g_p, *packed]
     if ipe_transposed:
         ipe_spec = pl.BlockSpec((ipe_w, block_rows), lambda i: (0, i),
@@ -393,7 +407,32 @@ def fused_mlp_backward(
     scratch_shapes = [
         pltpu.VMEM((NUM_TRUNK + 1, block_rows, hidden), compute_dtype)
     ]
-    if use_stash:
+    if use_stash == 2:
+        trunk_acts, h_acts = acts
+        if trunk_acts.shape != (NUM_STASH - 1, n_pad, hidden) or (
+            h_acts.shape != (n_pad, dir_hidden)
+        ):
+            raise ValueError(
+                f"split stash shapes {trunk_acts.shape}/{h_acts.shape} do "
+                f"not match this call's padded plan "
+                f"(({NUM_STASH - 1}, {n_pad}, {hidden}), "
+                f"({n_pad}, {dir_hidden})) — pass the stash through from "
+                "the same-shaped forward"
+            )
+        inputs.extend([trunk_acts, h_acts])
+        in_specs.extend([
+            pl.BlockSpec(
+                (NUM_STASH - 1, block_rows, hidden),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_rows, dir_hidden), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ])
+        scratch_shapes = []  # activations come from the stash
+    elif use_stash:
         stash_w = max(hidden, dir_hidden)
         if acts.shape != (NUM_STASH, n_pad, stash_w):
             raise ValueError(
@@ -461,13 +500,14 @@ def _zeros(ndim, *_idx):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
 )
 def fused_mlp_train_apply(
     params, ipe, dirs, depth_head: bool, interpret: bool = False,
     compute_dtype=jnp.bfloat16, samples_per_ray: int = 0,
     stash: bool = False, block_rows: int = 0, raw_lane: bool = False,
     ipe_transposed: bool = False, alpha_vpu: bool = False,
+    split_h_stash: bool = False,
 ):
     """Fused Pallas forward + fused Pallas backward.
 
@@ -498,13 +538,13 @@ def fused_mlp_train_apply(
 
 def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype,
          samples_per_ray, stash, block_rows, raw_lane, ipe_transposed,
-         alpha_vpu):
+         alpha_vpu, split_h_stash):
     out = fused_mlp_forward(
         params, ipe, dirs, depth_head=depth_head, interpret=interpret,
         compute_dtype=compute_dtype, samples_per_ray=samples_per_ray,
         stash=stash, block_rows=block_rows or BWD_BLOCK_ROWS,
         raw_lane=raw_lane, ipe_transposed=ipe_transposed,
-        alpha_vpu=alpha_vpu,
+        alpha_vpu=alpha_vpu, split_h_stash=split_h_stash,
     )
     if stash:
         out, acts = out
@@ -513,7 +553,8 @@ def _fwd(params, ipe, dirs, depth_head, interpret, compute_dtype,
 
 
 def _bwd(depth_head, interpret, compute_dtype, samples_per_ray, stash,
-         block_rows, raw_lane, ipe_transposed, alpha_vpu, res, g):
+         block_rows, raw_lane, ipe_transposed, alpha_vpu, split_h_stash,
+         res, g):
     params, ipe, dirs, acts = res
     grads = fused_mlp_backward(
         params, ipe, dirs, g, depth_head=depth_head, interpret=interpret,

@@ -439,6 +439,7 @@ class NerfPipeline:
                         pp, ipe, dirs, depth, self._pallas_interpret, cdt,
                         spr, stash, self._train_block_rows(),
                         par.raw_lane_inputs, ipe_t, par.alpha_vpu,
+                        par.split_h_stash,
                     )
                     return jnp.sum(out.astype(jnp.float32))
 
@@ -583,6 +584,7 @@ class NerfPipeline:
                 self.cfg.parallel.raw_lane_inputs,
                 self._ipe_transposed(),
                 self.cfg.parallel.alpha_vpu,
+                self.cfg.parallel.split_h_stash,
             )
             return flat.reshape(n, s, out_dim)
         if self._use_pallas(mode):

@@ -262,6 +262,97 @@ def test_stash_composes_with_per_ray_dirs():
     )
 
 
+def test_split_h_stash_forward_matches_combined():
+    """split_h_stash=True must not change the forward output; the stash
+    becomes a (trunk slabs, exact-width h slab) tuple whose contents equal
+    the combined layout's first-lane values."""
+    from ddnerf_tpu.kernels.fused_mlp import fused_mlp_forward
+
+    _, params, ipe, dirs = _setup(True, n=40, hidden=256)
+    out_c, acts_c = fused_mlp_forward(
+        params, ipe, dirs, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True, stash=True,
+    )
+    out_s, acts_s = fused_mlp_forward(
+        params, ipe, dirs, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True, stash=True,
+        split_h_stash=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_c))
+    trunk, h = acts_s
+    dir_hidden = params["dir_0"]["kernel"].shape[1]
+    assert trunk.shape == (acts_c.shape[0] - 1, acts_c.shape[1], 256)
+    assert h.shape == (acts_c.shape[1], dir_hidden)
+    np.testing.assert_array_equal(np.asarray(trunk), np.asarray(acts_c[:-1]))
+    np.testing.assert_array_equal(
+        np.asarray(h), np.asarray(acts_c[-1, :, :dir_hidden])
+    )
+
+
+def test_split_h_stash_backward_bit_identical():
+    """The split layout stashes/reads the SAME values as the combined one,
+    so gradients must be bitwise identical between the two stash layouts."""
+    from ddnerf_tpu.kernels.fused_mlp import fused_mlp_forward
+
+    _, params, ipe, dirs = _setup(True, n=48, hidden=256)
+    rng = np.random.default_rng(17)
+    g = jnp.asarray(rng.standard_normal((48, 6)).astype(np.float32))
+    _, acts_c = fused_mlp_forward(
+        params, ipe, dirs, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True, stash=True,
+    )
+    _, acts_s = fused_mlp_forward(
+        params, ipe, dirs, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True, stash=True,
+        split_h_stash=True,
+    )
+    a = fused_mlp_backward(
+        params, ipe, dirs, g, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True, acts=acts_c,
+    )
+    b = fused_mlp_backward(
+        params, ipe, dirs, g, depth_head=True, block_rows=16,
+        compute_dtype=jnp.float32, interpret=True, acts=acts_s,
+    )
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y)
+        ),
+        a, b,
+    )
+
+
+def test_split_h_stash_train_apply_matches_combined():
+    """End-to-end custom_vjp on the production static set (bf16, per-ray
+    dirs, stash): split vs combined layouts give bitwise-equal grads."""
+    rng = np.random.default_rng(19)
+    rays, s = 6, 7
+    n = rays * s
+    ipe = jnp.asarray(rng.standard_normal((n, 96)).astype(np.float32))
+    dirs = jnp.asarray(rng.standard_normal((rays, 27)).astype(np.float32))
+    module = DepthMipMLP(hidden_size=64)
+    params = module.init(
+        jax.random.PRNGKey(5), ipe, jnp.zeros((n, 27))
+    )["params"]
+    sg = jax.lax.stop_gradient
+
+    def loss(p, split):
+        out = fused_mlp_train_apply(
+            p, sg(ipe), sg(dirs), True, True, jnp.bfloat16, s, True,
+            0, True, False, False, split,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_combined = jax.grad(lambda p: loss(p, False))(params)
+    g_split = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        g_combined, g_split,
+    )
+
+
 def test_block_rows_override_matches_default():
     """parallel.bwd_block_rows flows through fused_mlp_train_apply to BOTH
     directions (shared plan, so the stash shape stays consistent); a

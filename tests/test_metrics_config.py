@@ -274,6 +274,7 @@ _SWITCHES = {
     "split_skip_layer": False,
     "ipe_double_angle": False,
     "alpha_vpu": True,
+    "split_h_stash": True,
 }
 
 
