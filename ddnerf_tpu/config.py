@@ -268,6 +268,11 @@ class ParallelConfig:
     # cuts the activation-stash write+read traffic by ~6% at 256/128
     # (kernels/fused_mlp.SPLIT_H_STASH rationale).  Bit-identical
     # gradients: the same values are stashed and read either way.
+    # MEASURED NEUTRAL on v5e (6 interleaved rounds: median 473.3k vs
+    # 472.0k rays/s, within chip variance; identical warm loss) — both
+    # kernel directions are compute-bound at ~96% of matmul roofline, so
+    # the saved stash DMA was already hidden.  Default off; kept for
+    # shapes/generations where the stash traffic is exposed.
     split_h_stash: bool = False
     # relu saves its OUTPUT (bf16) as the VJP residual instead of the
     # bit-packed predicate mask (models/mlp.py rationale + measurements).
@@ -317,6 +322,19 @@ class ParallelConfig:
     # the explicit pads were pure copies.  +0.8% rays/s, bit-identical loss
     # on v5e (PERF.md round-4).
     raw_lane_inputs: bool = True
+    # Wire format of the whole-image render map fetch ("float32" /
+    # "float16" / "bfloat16").  The pipelined pose render is fetch-bound
+    # on relayed/slow host links (PERF.md round-4 tenth pass: ~36 MB of
+    # f32 maps vs 0.62 s device time at 800x800); a half-width wire dtype
+    # halves the transfer.  The cast happens on device at the END of the
+    # render program (all compute stays f32) and the host upcasts back to
+    # f32, so consumers see the same dtypes; the maps differ from the f32
+    # wire by one half-precision rounding (<= 2^-11 relative — ~0.001 dB
+    # on PSNR-scale metrics).  Applies to the f32 map fetch paths
+    # (on-device chunked render + pose programs, incl. the mesh pose
+    # program where it also halves the all-gather); the uint8 video path
+    # is narrower already and the host-chunked mesh path keeps f32.
+    fetch_dtype: str = "float32"
     # Run fc_alpha's single-lane dot (and its two gradients) on the VPU
     # inside the fused kernels instead of lane-padded MXU matmuls: the
     # alpha head pays 1.5 full [B, hidden] matmul-units across fwd+bwd for
