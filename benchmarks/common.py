@@ -20,5 +20,8 @@ def flagship_render_cfg_dict(chunk: int = 16384, **parallel):
                            "perturb": False, "chunksize": chunk},
         },
         "dataset": {"type": "blender", "synthetic": True},
-        "parallel": {"compute_dtype": "bfloat16", **parallel},
+        # fetch_dtype float16 = the shipped render wire (configs/*.yml);
+        # override with fetch_dtype="float32" to measure the exact wire.
+        "parallel": {"compute_dtype": "bfloat16", "fetch_dtype": "float16",
+                     **parallel},
     }

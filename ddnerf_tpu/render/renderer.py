@@ -35,6 +35,20 @@ class ImageRenderer:
         self.chunk = cfg.nerf.validation.chunksize
         self.mesh = mesh
         self.extract_keys = extract_keys
+        try:
+            # Wire dtype of the f32 map fetch (parallel.fetch_dtype): the
+            # cast runs on device at the end of the render program and the
+            # host upcasts after the transfer, so consumers always see f32.
+            self._fetch_dtype = {
+                "float32": None,
+                "float16": jnp.float16,
+                "bfloat16": jnp.bfloat16,
+            }[cfg.parallel.fetch_dtype]
+        except KeyError:
+            raise ValueError(
+                f"parallel.fetch_dtype={cfg.parallel.fetch_dtype!r}: "
+                "expected float32 | float16 | bfloat16"
+            ) from None
         self._eval_fn = make_eval_step(cfg, pipeline, mode=mode)
         self._ondevice_cache = {}
         if mesh is not None:
@@ -50,6 +64,26 @@ class ImageRenderer:
         from ddnerf_tpu.parallel.mesh import shard_batch
 
         return lambda b: shard_batch(mesh, b)
+
+    # ------------------------------------------------- fetch wire dtype
+
+    def _cast_for_fetch(self, tree):
+        """Narrow f32 leaves to the wire dtype INSIDE the jitted render
+        program (device-side, after all compute) — see parallel.fetch_dtype.
+        Identity when the wire format is float32."""
+        dt = self._fetch_dtype
+        if dt is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, tree
+        )
+
+    def _host_f32(self, arr: np.ndarray) -> np.ndarray:
+        """Upcast a fetched map back to f32 on host (no-op on the f32 wire),
+        so downstream consumers see identical dtypes either way."""
+        if self._fetch_dtype is not None and arr.dtype != np.float32:
+            return arr.astype(np.float32)
+        return arr
 
     # -------------------------------------------------- on-device chunking
 
@@ -71,6 +105,7 @@ class ImageRenderer:
         key = (k, chunk)
         if key not in self._ondevice_cache:
             eval_fn = self._eval_fn
+            cast = self._cast_for_fetch
 
             @jax.jit
             def render_all(params, ro, rd, rr, keys, sched):
@@ -83,7 +118,7 @@ class ImageRenderer:
                         sched,
                     )
 
-                return jax.lax.map(body, (ro, rd, rr, keys))
+                return cast(jax.lax.map(body, (ro, rd, rr, keys)))
 
             self._ondevice_cache[key] = render_all
 
@@ -108,7 +143,7 @@ class ImageRenderer:
             for name in self.extract_keys:
                 if name not in out[i] or out[i][name] is None:
                     continue
-                arr = np.asarray(out[i][name])  # [k, chunk, ...] or [k]
+                arr = self._host_f32(np.asarray(out[i][name]))  # [k, chunk, ...]
                 if arr.ndim == 1:  # per-chunk scalar -> valid-weighted mean
                     result[i][name] = np.sum(arr * valid) / n
                 else:
@@ -231,6 +266,7 @@ class ImageRenderer:
             return self._ondevice_cache[key], k, chunk
 
         eval_fn = self._eval_fn
+        cast = self._cast_for_fetch
         mesh = self.mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -270,7 +306,9 @@ class ImageRenderer:
                 body, (flat_pad(ro), flat_pad(rd), flat_pad(radii), keys)
             )
             if not quantize:
-                return out
+                # Narrow the wire dtype on device (parallel.fetch_dtype);
+                # with a mesh this also halves the replicating all-gather.
+                return cast(out)
             rgb = out[1]["rgb"].reshape(-1, 3)
             disp = out[1]["disp"].reshape(-1)
             # Quantization identical to the host casts
@@ -462,7 +500,7 @@ class ImageRenderer:
             for name in self.extract_keys:
                 if name not in out[i] or out[i][name] is None:
                     continue
-                arr = np.asarray(out[i][name])  # [k, chunk, ...] or [k]
+                arr = self._host_f32(np.asarray(out[i][name]))  # [k, chunk, ..]
                 if arr.ndim == 1:  # per-chunk scalar -> valid-weighted mean
                     result[i][name] = np.sum(arr * valid) / n
                 else:

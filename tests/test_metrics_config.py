@@ -275,6 +275,7 @@ _SWITCHES = {
     "ipe_double_angle": False,
     "alpha_vpu": True,
     "split_h_stash": True,
+    "fetch_dtype": "float16",
 }
 
 

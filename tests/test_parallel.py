@@ -394,6 +394,41 @@ def test_image_from_pose_mesh_matches_single_device():
 
 
 @requires_multidevice
+def test_image_from_pose_mesh_f16_wire():
+    """parallel.fetch_dtype=float16 composes with the mesh pose program:
+    the cast runs before the replicating all-gather (halving it too) and
+    the host sees f32 maps within one half-precision rounding of the f32
+    wire."""
+    from ddnerf_tpu.data.assembly import get_datasets
+    from ddnerf_tpu.render.renderer import ImageRenderer
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace_at("nerf.validation.radiance_field_noise_std", 0.0)
+    _, val_ds, cfg = get_datasets(cfg)
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    pose = val_ds.render_poses[0]
+    mesh = pmesh.make_mesh(8)
+
+    keys = ("rgb", "disp", "depth")
+    f32 = ImageRenderer(cfg, pipe, mesh=mesh, mode="render",
+                        extract_keys=keys)
+    want = f32.render_image_from_pose(
+        state.params, pose, val_ds.H, val_ds.W, val_ds.focal)
+
+    f16 = ImageRenderer(cfg.replace_at("parallel.fetch_dtype", "float16"),
+                        pipe, mesh=mesh, mode="render", extract_keys=keys)
+    got = f16.render_image_from_pose(
+        state.params, pose, val_ds.H, val_ds.W, val_ds.focal)
+
+    for key in keys:
+        g = np.asarray(got[1][key])
+        assert g.dtype == np.float32
+        np.testing.assert_allclose(g, want[1][key], rtol=2e-3, atol=2e-3,
+                                   err_msg=key)
+
+
+@requires_multidevice
 def test_sharded_step_with_fused_backward_kernel():
     """pallas_mlp="train" composes with the ray-sharded step: the fused
     Pallas forward/backward kernels run per-shard under shard_map
