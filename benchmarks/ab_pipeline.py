@@ -34,6 +34,11 @@ def main():
         help="interleave a second renderer with parallel.fetch_dtype=DTYPE "
              "(float16/bfloat16) against the f32 wire, pipelined runs only",
     )
+    ap.add_argument(
+        "--pack-ab", action="store_true",
+        help="interleave packed (one wire array per image) vs unpacked "
+             "(one buffer per map) fetch on the production wire dtype",
+    )
     args = ap.parse_args()
 
     import jax
@@ -71,6 +76,34 @@ def main():
     renderer.render_image_from_pose(
         state.params, poses[0], h, w, focal, sched=sched
     )  # compile + warm
+
+    if args.pack_ab:
+        # Packed vs unpacked fetch, interleaved.  PACKED_FETCH is read at
+        # trace time, so each renderer is warmed (traced) under its flag.
+        from ddnerf_tpu.render import renderer as rmod
+
+        rmod.PACKED_FETCH = False
+        unpacked = ImageRenderer(cfg, pipe, mode="render")
+        unpacked.render_image_from_pose(
+            state.params, poses[0], h, w, focal, sched=sched)
+        rmod.PACKED_FETCH = True
+
+        def run(rd):
+            t0 = time.perf_counter()
+            for _ in rd.render_images_from_poses(state.params, poses, h, w,
+                                                 focal, sched=sched):
+                pass
+            return time.perf_counter() - t0
+
+        for r in range(args.rounds):
+            pk, up = run(renderer), run(unpacked)
+            print(
+                f"round {r}: packed {pk / m:.3f} s/img "
+                f"({h * w * m / pk:,.0f} rays/s) | unpacked {up / m:.3f} "
+                f"s/img ({h * w * m / up:,.0f} rays/s)",
+                flush=True,
+            )
+        return
 
     if args.fetch_ab:
         # Interleaved A/B of the wire dtype on the PIPELINED path (the

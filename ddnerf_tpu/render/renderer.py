@@ -24,6 +24,12 @@ from ddnerf_tpu.train.step import make_eval_step
 
 DEFAULT_KEYS = ("rgb", "disp", "acc", "depth", "corrected_disp_map")
 
+# Pack all fetched maps of a pose render into ONE wire array (single host
+# transfer instead of one round-trip per map — 10 buffers for the default
+# keys; exact by construction).  Trace-time escape hatch / A/B lever
+# (benchmarks/ab_pipeline.py --pack-ab); no correctness reason to disable.
+PACKED_FETCH = True
+
 
 class ImageRenderer:
     def __init__(self, cfg: Config, pipeline: NerfPipeline, mesh=None,
@@ -51,6 +57,9 @@ class ImageRenderer:
             ) from None
         self._eval_fn = make_eval_step(cfg, pipeline, mode=mode)
         self._ondevice_cache = {}
+        # Packed-fetch column layouts per pose program, recorded at trace
+        # time (see _pose_program).
+        self._pose_layouts = {}
         if mesh is not None:
             from ddnerf_tpu.parallel.mesh import make_sharded_eval_step
 
@@ -264,9 +273,15 @@ class ImageRenderer:
         key = ("pose", h, w, k, chunk, ndc, quantize)
         if key in self._ondevice_cache:
             return self._ondevice_cache[key], k, chunk
+        # Map layout of the packed fetch, recorded at trace time:
+        # (cycle, name, width, had_channel_dim) per packed column block.
+        # None = unpacked (PACKED_FETCH disabled for this program).
+        packed_mode = PACKED_FETCH and not quantize
+        layout: list = []
 
         eval_fn = self._eval_fn
         cast = self._cast_for_fetch
+        extract_keys = self.extract_keys
         mesh = self.mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -305,10 +320,35 @@ class ImageRenderer:
             out = jax.lax.map(
                 body, (flat_pad(ro), flat_pad(rd), flat_pad(radii), keys)
             )
-            if not quantize:
-                # Narrow the wire dtype on device (parallel.fetch_dtype);
-                # with a mesh this also halves the replicating all-gather.
+            if not quantize and not packed_mode:
                 return cast(out)
+            if not quantize:
+                # Pack every fetched map into ONE wire array (exact by
+                # construction: concat on device / column-split on host),
+                # so the per-image fetch is a single transfer instead of
+                # one round-trip per map (10 buffers for the default
+                # keys), and narrow the wire dtype (parallel.fetch_dtype)
+                # — with a mesh this also shrinks the replicating
+                # all-gather to one gather.  Per-chunk scalars (e.g.
+                # dp_loss) stay separate tiny buffers.
+                maps, scalars, entries = [], {}, []
+                for i in (0, 1):
+                    for name in extract_keys:
+                        v = out[i].get(name)
+                        if v is None:
+                            continue
+                        if v.ndim == 1:  # per-chunk scalar [k]
+                            scalars[f"{i}/{name}"] = v
+                        elif v.ndim == 2:  # [k, chunk]
+                            entries.append((i, name, 1, False))
+                            maps.append(v[..., None])
+                        else:  # [k, chunk, C]
+                            entries.append((i, name, v.shape[-1], True))
+                            maps.append(v)
+                layout[:] = entries
+                packed = (jnp.concatenate(maps, axis=-1) if maps
+                          else jnp.zeros((k, chunk, 0), jnp.float32))
+                return cast(packed), scalars
             rgb = out[1]["rgb"].reshape(-1, 3)
             disp = out[1]["disp"].reshape(-1)
             # Quantization identical to the host casts
@@ -324,8 +364,9 @@ class ImageRenderer:
             return rgb_u8, disp_u8
 
         if mesh is not None:
-            # Replicated in/out: the pose upload is tiny, and uint8/f32 maps
-            # are all-gathered on device so every host can read them locally.
+            # Replicated in/out: the pose upload is tiny, and uint8/packed
+            # maps are all-gathered on device so every host can read them
+            # locally.
             fn = jax.jit(
                 program,
                 in_shardings=(repl, repl, repl, repl, repl),
@@ -334,6 +375,7 @@ class ImageRenderer:
         else:
             fn = jax.jit(program)
         self._ondevice_cache[key] = fn
+        self._pose_layouts[key] = layout if packed_mode else None
         return fn, k, chunk
 
     def render_video_frame_from_pose(self, params, pose, h, w, focal,
@@ -492,23 +534,43 @@ class ImageRenderer:
         return out, k, chunk
 
     def _fetch_pose_maps(self, out, k, chunk, h, w):
+        """Fetch + unpack the pose program's (packed maps, scalars) output:
+        ONE host transfer for all maps, column-split per the trace-time
+        layout (exact — concat/split round-trips bit-for-bit)."""
+        layout = self._pose_layouts[
+            ("pose", h, w, k, chunk, self.cfg.dataset.ndc_rays, False)
+        ]
         n = h * w
         valid = np.full(k, chunk, np.float64)
         valid[-1] = n - (k - 1) * chunk
         result: Dict[int, Dict[str, np.ndarray]] = {0: {}, 1: {}}
-        for i in (0, 1):
-            for name in self.extract_keys:
-                if name not in out[i] or out[i][name] is None:
-                    continue
-                arr = self._host_f32(np.asarray(out[i][name]))  # [k, chunk, ..]
-                if arr.ndim == 1:  # per-chunk scalar -> valid-weighted mean
-                    result[i][name] = np.sum(arr * valid) / n
-                else:
-                    flat = arr.reshape(k * chunk, *arr.shape[2:])[:n]
-                    if flat.ndim == 2:
-                        result[i][name] = flat.reshape(h, w, -1)
+        if layout is None:  # unpacked program (PACKED_FETCH off at trace)
+            for i in (0, 1):
+                for name in self.extract_keys:
+                    if name not in out[i] or out[i][name] is None:
+                        continue
+                    a = self._host_f32(np.asarray(out[i][name]))
+                    if a.ndim == 1:
+                        result[i][name] = np.sum(a * valid) / n
                     else:
-                        result[i][name] = flat.reshape(h, w)
+                        fl = a.reshape(k * chunk, *a.shape[2:])[:n]
+                        result[i][name] = (fl.reshape(h, w, -1) if fl.ndim == 2
+                                           else fl.reshape(h, w))
+            return result
+        packed, scalars = out
+        arr = self._host_f32(np.asarray(packed))  # [k, chunk, C_total]
+        flat = arr.reshape(k * chunk, arr.shape[-1])[:n]
+        col = 0
+        for i, name, width, had_channels in layout:
+            block = flat[:, col:col + width]
+            col += width
+            result[i][name] = (
+                block.reshape(h, w, width) if had_channels
+                else block.reshape(h, w)
+            )
+        for tag, v in scalars.items():  # per-chunk scalar -> weighted mean
+            i, name = tag.split("/", 1)
+            result[int(i)][name] = np.sum(np.asarray(v) * valid) / n
         return result
 
     @staticmethod

@@ -114,6 +114,46 @@ def test_fetch_dtype_f32_wire_is_identity():
     assert r._host_f32(arr) is arr  # f32 wire: no host-side conversion
 
 
+def test_packed_fetch_is_exact():
+    """The packed pose fetch (one wire array, column-split on host) must be
+    BIT-identical to the unpacked per-map fetch on the f32 wire — concat/
+    split round-trips exactly."""
+    import jax
+
+    from ddnerf_tpu.data.synthetic import pose_spherical
+    from ddnerf_tpu.models.nerf import NerfPipeline, ScheduleValues
+    from ddnerf_tpu.render import renderer as rmod
+    from ddnerf_tpu.render.renderer import ImageRenderer
+
+    cfg = _tiny_cfg()
+    pipe = NerfPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    sched = ScheduleValues.for_eval(cfg)
+    pose = pose_spherical(30.0, -30.0, 4.0)
+    h = w = 9  # k*chunk > n -> padded tail exercised
+    focal = 9.0
+    keys = ("rgb", "disp", "acc", "depth", "corrected_disp_map", "dp_loss")
+
+    packed = ImageRenderer(cfg, pipe, extract_keys=keys)
+    got = packed.render_image_from_pose(params, pose, h, w, focal,
+                                        sched=sched)
+    assert rmod.PACKED_FETCH
+    try:
+        rmod.PACKED_FETCH = False
+        unpacked = ImageRenderer(cfg, pipe, extract_keys=keys)
+        want = unpacked.render_image_from_pose(params, pose, h, w, focal,
+                                               sched=sched)
+    finally:
+        rmod.PACKED_FETCH = True
+
+    for cyc in (0, 1):
+        assert set(got[cyc]) == set(want[cyc]), cyc
+        for key in want[cyc]:
+            np.testing.assert_array_equal(
+                np.asarray(got[cyc][key]), np.asarray(want[cyc][key]),
+                err_msg=f"cycle {cyc} {key}")
+
+
 def test_fetch_dtype_rejects_unknown_value():
     from ddnerf_tpu.models.nerf import NerfPipeline
     from ddnerf_tpu.render.renderer import ImageRenderer
