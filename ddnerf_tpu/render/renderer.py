@@ -24,11 +24,34 @@ from ddnerf_tpu.train.step import make_eval_step
 
 DEFAULT_KEYS = ("rgb", "disp", "acc", "depth", "corrected_disp_map")
 
-# Pack all fetched maps of a pose render into ONE wire array (single host
-# transfer instead of one round-trip per map — 10 buffers for the default
-# keys; exact by construction).  Trace-time escape hatch / A/B lever
-# (benchmarks/ab_pipeline.py --pack-ab); no correctness reason to disable.
+# Pack all fetched maps of a render program into ONE wire array (single
+# host transfer instead of one round-trip per map — 10 buffers for the
+# default keys; exact by construction).  Trace-time escape hatch / A/B
+# lever (benchmarks/ab_pipeline.py --pack-ab); no correctness reason to
+# disable.
 PACKED_FETCH = True
+
+
+def _split_maps_scalars(out, extract_keys):
+    """Trace-time walk shared by the packed-fetch render programs: split
+    the per-cycle output dicts into packable map blocks ([k, chunk(, C)]),
+    per-chunk scalars ([k]), and the column layout entries
+    ``(cycle, name, width, had_channel_dim)``."""
+    maps, scalars, entries = [], {}, []
+    for i in (0, 1):
+        for name in extract_keys:
+            v = out[i].get(name)
+            if v is None:
+                continue
+            if v.ndim == 1:  # per-chunk scalar [k]
+                scalars[f"{i}/{name}"] = v
+            elif v.ndim == 2:  # [k, chunk]
+                entries.append((i, name, 1, False))
+                maps.append(v[..., None])
+            else:  # [k, chunk, C]
+                entries.append((i, name, v.shape[-1], True))
+                maps.append(v)
+    return maps, scalars, entries
 
 
 class ImageRenderer:
@@ -57,9 +80,9 @@ class ImageRenderer:
             ) from None
         self._eval_fn = make_eval_step(cfg, pipeline, mode=mode)
         self._ondevice_cache = {}
-        # Packed-fetch column layouts per pose program, recorded at trace
-        # time (see _pose_program).
-        self._pose_layouts = {}
+        # Packed-fetch column layouts per cached program, recorded at
+        # trace time (None = program traced unpacked).
+        self._packed_layouts = {}
         if mesh is not None:
             from ddnerf_tpu.parallel.mesh import make_sharded_eval_step
 
@@ -94,6 +117,27 @@ class ImageRenderer:
             return arr.astype(np.float32)
         return arr
 
+    def _unpack_flat(self, out, layout, k, chunk, n):
+        """Fetch + unpack a packed render output to flat per-cycle maps
+        ([n(, C)] arrays + weighted-mean scalars): ONE host transfer for
+        all maps, column-split per the trace-time layout (exact — the
+        concat/split round-trips bit-for-bit)."""
+        packed, scalars = out
+        valid = np.full(k, chunk, np.float64)
+        valid[-1] = n - (k - 1) * chunk
+        result: Dict[int, Dict[str, np.ndarray]] = {0: {}, 1: {}}
+        arr = self._host_f32(np.asarray(packed))  # [k, chunk, C_total]
+        flat = arr.reshape(k * chunk, arr.shape[-1])[:n]
+        col = 0
+        for i, name, width, had_channels in layout:
+            block = flat[:, col:col + width]
+            col += width
+            result[i][name] = block if had_channels else block[:, 0]
+        for tag, v in scalars.items():  # per-chunk scalar -> weighted mean
+            i, name = tag.split("/", 1)
+            result[int(i)][name] = np.sum(np.asarray(v) * valid) / n
+        return result
+
     # -------------------------------------------------- on-device chunking
 
     def _ondevice_render(self, params, origins, directions, radii, rng, sched):
@@ -115,6 +159,9 @@ class ImageRenderer:
         if key not in self._ondevice_cache:
             eval_fn = self._eval_fn
             cast = self._cast_for_fetch
+            extract_keys = self.extract_keys
+            packed_mode = PACKED_FETCH
+            layout: list = []
 
             @jax.jit
             def render_all(params, ro, rd, rr, keys, sched):
@@ -127,9 +174,17 @@ class ImageRenderer:
                         sched,
                     )
 
-                return cast(jax.lax.map(body, (ro, rd, rr, keys)))
+                out = jax.lax.map(body, (ro, rd, rr, keys))
+                if not packed_mode:
+                    return cast(out)
+                maps, scalars, entries = _split_maps_scalars(out, extract_keys)
+                layout[:] = entries
+                packed = (jnp.concatenate(maps, axis=-1) if maps
+                          else jnp.zeros((k, chunk, 0), jnp.float32))
+                return cast(packed), scalars
 
             self._ondevice_cache[key] = render_all
+            self._packed_layouts[key] = layout if packed_mode else None
 
         keys = jax.random.split(rng, k)
         out = self._ondevice_cache[key](
@@ -145,6 +200,9 @@ class ImageRenderer:
         # scalars are therefore combined with valid-ray weights so the result
         # matches the reference's concat-then-mean over rays
         # (models.py:57-61, train_model.py:218) up to the pad duplicates.
+        layout = self._packed_layouts[key]
+        if layout is not None:
+            return self._unpack_flat(out, layout, k, chunk, n)
         valid = np.full(k, chunk, np.float64)
         valid[-1] = n - (k - 1) * chunk
         result: Dict[int, Dict[str, np.ndarray]] = {0: {}, 1: {}}
@@ -331,20 +389,7 @@ class ImageRenderer:
                 # — with a mesh this also shrinks the replicating
                 # all-gather to one gather.  Per-chunk scalars (e.g.
                 # dp_loss) stay separate tiny buffers.
-                maps, scalars, entries = [], {}, []
-                for i in (0, 1):
-                    for name in extract_keys:
-                        v = out[i].get(name)
-                        if v is None:
-                            continue
-                        if v.ndim == 1:  # per-chunk scalar [k]
-                            scalars[f"{i}/{name}"] = v
-                        elif v.ndim == 2:  # [k, chunk]
-                            entries.append((i, name, 1, False))
-                            maps.append(v[..., None])
-                        else:  # [k, chunk, C]
-                            entries.append((i, name, v.shape[-1], True))
-                            maps.append(v)
+                maps, scalars, entries = _split_maps_scalars(out, extract_keys)
                 layout[:] = entries
                 packed = (jnp.concatenate(maps, axis=-1) if maps
                           else jnp.zeros((k, chunk, 0), jnp.float32))
@@ -375,7 +420,7 @@ class ImageRenderer:
         else:
             fn = jax.jit(program)
         self._ondevice_cache[key] = fn
-        self._pose_layouts[key] = layout if packed_mode else None
+        self._packed_layouts[key] = layout if packed_mode else None
         return fn, k, chunk
 
     def render_video_frame_from_pose(self, params, pose, h, w, focal,
@@ -537,14 +582,14 @@ class ImageRenderer:
         """Fetch + unpack the pose program's (packed maps, scalars) output:
         ONE host transfer for all maps, column-split per the trace-time
         layout (exact — concat/split round-trips bit-for-bit)."""
-        layout = self._pose_layouts[
+        layout = self._packed_layouts[
             ("pose", h, w, k, chunk, self.cfg.dataset.ndc_rays, False)
         ]
         n = h * w
-        valid = np.full(k, chunk, np.float64)
-        valid[-1] = n - (k - 1) * chunk
-        result: Dict[int, Dict[str, np.ndarray]] = {0: {}, 1: {}}
         if layout is None:  # unpacked program (PACKED_FETCH off at trace)
+            valid = np.full(k, chunk, np.float64)
+            valid[-1] = n - (k - 1) * chunk
+            result: Dict[int, Dict[str, np.ndarray]] = {0: {}, 1: {}}
             for i in (0, 1):
                 for name in self.extract_keys:
                     if name not in out[i] or out[i][name] is None:
@@ -557,20 +602,13 @@ class ImageRenderer:
                         result[i][name] = (fl.reshape(h, w, -1) if fl.ndim == 2
                                            else fl.reshape(h, w))
             return result
-        packed, scalars = out
-        arr = self._host_f32(np.asarray(packed))  # [k, chunk, C_total]
-        flat = arr.reshape(k * chunk, arr.shape[-1])[:n]
-        col = 0
-        for i, name, width, had_channels in layout:
-            block = flat[:, col:col + width]
-            col += width
-            result[i][name] = (
-                block.reshape(h, w, width) if had_channels
-                else block.reshape(h, w)
-            )
-        for tag, v in scalars.items():  # per-chunk scalar -> weighted mean
-            i, name = tag.split("/", 1)
-            result[int(i)][name] = np.sum(np.asarray(v) * valid) / n
+        result = self._unpack_flat(out, layout, k, chunk, n)
+        for i in (0, 1):  # flat [n(, C)] -> image layout
+            for name, v in result[i].items():
+                if np.ndim(v) == 2:
+                    result[i][name] = v.reshape(h, w, -1)
+                elif np.ndim(v) == 1:
+                    result[i][name] = v.reshape(h, w)
         return result
 
     @staticmethod
