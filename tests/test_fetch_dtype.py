@@ -154,6 +154,49 @@ def test_packed_fetch_is_exact():
                 err_msg=f"cycle {cyc} {key}")
 
 
+def test_packed_fetch_is_exact_ondevice_path():
+    """Same bit-exactness pin for the on-device chunked render path
+    (``render_flat`` -> ``_ondevice_render``), which packs through the
+    shared ``_split_maps_scalars`` helper: packed vs unpacked must agree
+    bit-for-bit on the f32 wire, including the padded tail chunk and the
+    per-chunk-scalar weighted mean."""
+    import jax
+
+    from ddnerf_tpu.models.nerf import NerfPipeline, ScheduleValues
+    from ddnerf_tpu.render import renderer as rmod
+    from ddnerf_tpu.render.renderer import ImageRenderer
+
+    cfg = _tiny_cfg()
+    pipe = NerfPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    sched = ScheduleValues.for_eval(cfg)
+
+    rng = np.random.default_rng(1)
+    n = 65  # two chunks at chunksize=64 -> padded tail exercised
+    ro = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    rd = rng.standard_normal((n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    radii = np.full((n, 1), 0.002, np.float32)
+    keys = ("rgb", "disp", "acc", "depth", "corrected_disp_map", "dp_loss")
+
+    packed = ImageRenderer(cfg, pipe, extract_keys=keys)
+    got = packed.render_flat(params, ro, rd, radii, sched=sched)
+    assert rmod.PACKED_FETCH
+    try:
+        rmod.PACKED_FETCH = False
+        unpacked = ImageRenderer(cfg, pipe, extract_keys=keys)
+        want = unpacked.render_flat(params, ro, rd, radii, sched=sched)
+    finally:
+        rmod.PACKED_FETCH = True
+
+    for cyc in (0, 1):
+        assert set(got[cyc]) == set(want[cyc]), cyc
+        for key in want[cyc]:
+            np.testing.assert_array_equal(
+                np.asarray(got[cyc][key]), np.asarray(want[cyc][key]),
+                err_msg=f"cycle {cyc} {key}")
+
+
 def test_fetch_dtype_rejects_unknown_value():
     from ddnerf_tpu.models.nerf import NerfPipeline
     from ddnerf_tpu.render.renderer import ImageRenderer
