@@ -68,7 +68,7 @@ def supervise() -> int:
     attempt is a clean process; the last stdout line of a successful child
     (the JSON record) is forwarded verbatim.
     """
-    budget = float(os.environ.get("BENCH_BACKEND_TIMEOUT", "600"))
+    budget = float(os.environ.get("BENCH_BACKEND_TIMEOUT", "900"))
     deadline = time.time() + budget
     delay = 15.0
     attempt = 0
@@ -77,12 +77,15 @@ def supervise() -> int:
         attempt += 1
         try:
             # Grace beyond the retry deadline: a handshake already in
-            # progress (up to ~700 s) should be allowed to finish.
+            # progress should be allowed to finish.  Observed queue waits
+            # through the relay have exceeded 20 min when another client
+            # holds the chip, so the grace covers a worst-case handshake
+            # plus the measurement itself.
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--run"],
                 capture_output=True,
                 text=True,
-                timeout=max(deadline - time.time(), 0) + 1200,
+                timeout=max(deadline - time.time(), 0) + 1800,
             )
         except subprocess.TimeoutExpired as e:
             # e.stderr is bytes or None even with text=True (POSIX).
