@@ -114,7 +114,7 @@ def test_fetch_dtype_f32_wire_is_identity():
     assert r._host_f32(arr) is arr  # f32 wire: no host-side conversion
 
 
-def test_packed_fetch_is_exact():
+def test_packed_fetch_is_exact(monkeypatch):
     """The packed pose fetch (one wire array, column-split on host) must be
     BIT-identical to the unpacked per-map fetch on the f32 wire — concat/
     split round-trips exactly."""
@@ -137,14 +137,10 @@ def test_packed_fetch_is_exact():
     packed = ImageRenderer(cfg, pipe, extract_keys=keys)
     got = packed.render_image_from_pose(params, pose, h, w, focal,
                                         sched=sched)
-    assert rmod.PACKED_FETCH
-    try:
-        rmod.PACKED_FETCH = False
-        unpacked = ImageRenderer(cfg, pipe, extract_keys=keys)
-        want = unpacked.render_image_from_pose(params, pose, h, w, focal,
-                                               sched=sched)
-    finally:
-        rmod.PACKED_FETCH = True
+    monkeypatch.setattr(rmod, "PACKED_FETCH", False)
+    unpacked = ImageRenderer(cfg, pipe, extract_keys=keys)
+    want = unpacked.render_image_from_pose(params, pose, h, w, focal,
+                                           sched=sched)
 
     for cyc in (0, 1):
         assert set(got[cyc]) == set(want[cyc]), cyc
@@ -154,7 +150,7 @@ def test_packed_fetch_is_exact():
                 err_msg=f"cycle {cyc} {key}")
 
 
-def test_packed_fetch_is_exact_ondevice_path():
+def test_packed_fetch_is_exact_ondevice_path(monkeypatch):
     """Same bit-exactness pin for the on-device chunked render path
     (``render_flat`` -> ``_ondevice_render``), which packs through the
     shared ``_split_maps_scalars`` helper: packed vs unpacked must agree
@@ -181,13 +177,9 @@ def test_packed_fetch_is_exact_ondevice_path():
 
     packed = ImageRenderer(cfg, pipe, extract_keys=keys)
     got = packed.render_flat(params, ro, rd, radii, sched=sched)
-    assert rmod.PACKED_FETCH
-    try:
-        rmod.PACKED_FETCH = False
-        unpacked = ImageRenderer(cfg, pipe, extract_keys=keys)
-        want = unpacked.render_flat(params, ro, rd, radii, sched=sched)
-    finally:
-        rmod.PACKED_FETCH = True
+    monkeypatch.setattr(rmod, "PACKED_FETCH", False)
+    unpacked = ImageRenderer(cfg, pipe, extract_keys=keys)
+    want = unpacked.render_flat(params, ro, rd, radii, sched=sched)
 
     for cyc in (0, 1):
         assert set(got[cyc]) == set(want[cyc]), cyc
