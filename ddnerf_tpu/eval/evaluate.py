@@ -76,7 +76,16 @@ def eval_model(
     # as the train loop's validation renderer.
     from ddnerf_tpu.parallel.mesh import maybe_mesh
 
-    renderer = ImageRenderer(cfg, pipeline, maybe_mesh(cfg), mode="render")
+    # Quality-acceptance metrics are computed from full-precision renders
+    # (the reference computes PSNR/SSIM/LPIPS on f32 maps,
+    # eval_nerf.py:128-160), so eval ALWAYS uses the exact f32 fetch wire
+    # regardless of ``parallel.fetch_dtype`` — results.txt must not depend
+    # on a transfer-speed knob.  The half-width wire stays for train-loop
+    # validation previews and video frames, where it only feeds uint8 dumps.
+    renderer = ImageRenderer(
+        cfg.replace_at("parallel.fetch_dtype", "float32"),
+        pipeline, maybe_mesh(cfg), mode="render",
+    )
 
     # Depth-analysis pass (eval_nerf.py:66-89).
     if cfg.train_params.depth_analysis_rays and primary:

@@ -369,6 +369,50 @@ def test_eval_driver_mesh_matches_single_device(tmp_path):
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_eval_metrics_independent_of_fetch_dtype(trained_logdir):
+    """The eval driver forces the exact f32 fetch wire regardless of the
+    snapshot's ``parallel.fetch_dtype``, so results.txt never depends on
+    the transfer-speed knob (round-4 verdict #3; the reference computes
+    acceptance metrics from full-precision renders, eval_nerf.py:128-160).
+    Identity must be EXACT — bitwise-equal metrics, byte-equal results.txt."""
+    cfg, logdir, _ = trained_logdir
+    from ddnerf_tpu.eval.evaluate import eval_model
+
+    snap = os.path.join(logdir, "config.yml")
+    original = open(snap).read()
+    assert "fetch_dtype: float32" in original  # the fixture's default wire
+
+    summary_f32, per_f32 = eval_model(logdir, save_images=False, max_images=1)
+    results_f32 = open(os.path.join(logdir, "validation", "results.txt")).read()
+
+    try:
+        open(snap, "w").write(
+            original.replace("fetch_dtype: float32", "fetch_dtype: float16")
+        )
+        summary_f16, per_f16 = eval_model(logdir, save_images=False,
+                                          max_images=1)
+        results_f16 = open(
+            os.path.join(logdir, "validation", "results.txt")).read()
+    finally:
+        open(snap, "w").write(original)
+
+    for key in summary_f32:
+        if key == "model_time_sec":  # wall timing, run-dependent
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(summary_f32[key][:1]), np.asarray(summary_f16[key][:1]),
+            err_msg=key)
+    assert per_f32.keys() == per_f16.keys()
+    for i in per_f32:
+        assert per_f32[i] == per_f16[i], i
+
+    def strip_timing(text):
+        return "\n".join(l for l in text.splitlines()
+                         if not l.startswith("model_time_sec"))
+
+    assert strip_timing(results_f32) == strip_timing(results_f16)
+
+
 def test_host_sampling_fallback_path(tmp_path):
     """parallel.max_store_gb below the dataset size forces the host-side
     sampling + per-step transfer branch (the reference's only mode) — on a
