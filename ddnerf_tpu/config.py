@@ -244,10 +244,11 @@ class ParallelConfig:
     # 800x800 whole-image A/B, v5e — PERF.md round-4 sixth pass), "ipe2" =
     # in-kernel IPE with the modern recipe (raw [N, 3] f32 means/covs in,
     # per-ray dirs, merged heads — fused_mlp.fused_enc_mlp_forward; no
-    # [N, 96] feature array in HBM and no boundary relayout copies),
-    # "ipe" = the retired fused_ipe_mlp (measured a net loss vs XLA —
-    # [N, 128]-padded f32 inputs, per-sample dirs; kept as the A/B
-    # counterfactual).
+    # [N, 96] feature array in HBM and no boundary relayout copies;
+    # measured -16% vs "mlp" on v5e — the executable counterfactual that
+    # bounds in-kernel encodes).  The older "ipe" (fused_ipe_mlp) was
+    # RETIRED in round 5 after three measured negatives; PERF.md keeps the
+    # post-mortem.
     render_kernel_variant: str = "mlp"
     # Row-block size for the forward-only render kernel (the "mlp"
     # variant); 0 = the kernel default (32 rays/block = 1024 rows at 32
@@ -282,6 +283,15 @@ class ParallelConfig:
     split_skip_layer: bool = True
     # IPE sin/cos via the double-angle recurrence (core/math.py rationale).
     ipe_double_angle: bool = True
+    # Assembly of the fused-kernel-path IPE feature array ("stack" = the
+    # double-angle/direct stack+reshape+concat forms above; "fused" =
+    # core/math.integrated_pos_enc_fused — direct-form features emitted by
+    # ONE concat-free output fusion, cast folded in).  The kernel path must
+    # MATERIALIZE [N, 96] in HBM (XLA cannot fuse a prologue into a
+    # pallas_call), where assembly layout, not transcendental count, can
+    # dominate; the XLA module paths are unaffected (their IPE fuses into
+    # the consuming matmul prologue).  See PERF.md round-5 for the A/B.
+    ipe_variant: str = "stack"
     # Hand-derived adjoint for the compositing weights (one reverse cumsum
     # instead of autodiff through the exclusive-cumprod chain — see
     # core/rendering.weights_from_alpha).  Same math (gradcheck'd vs

@@ -104,6 +104,7 @@ _KERNEL_STASH_ACTS = None
 _RENDER_KERNEL_VARIANT = None
 _COMPOSITE_CUSTOM_VJP = None  # -> cfg.parallel.composite_custom_vjp
 _IPE_TRANSPOSED = None  # -> cfg.parallel.ipe_transposed
+_IPE_VARIANT = None  # -> cfg.parallel.ipe_variant
 
 
 def _ov(override, cfg_value):
@@ -333,19 +334,14 @@ class NerfPipeline:
                             alpha_vpu=par.alpha_vpu, **kw,
                         )
                 else:
-                    from ddnerf_tpu.kernels.fused_ipe_mlp import (
-                        fused_ipe_mlp_apply,
+                    # "ipe" (fused_ipe_mlp) was retired in round 5 after
+                    # three measured negatives for in-kernel encodes
+                    # (PERF.md); "ipe2" remains the executable
+                    # counterfactual at the strongest integration.
+                    raise ValueError(
+                        f"render_kernel_variant={variant!r}: expected "
+                        "mlp | ipe2"
                     )
-
-                    means = jnp.zeros((n * s, 3), jnp.float32)
-                    covs = jnp.full((n * s, 3), 1e-4, jnp.float32)
-                    dirs3 = jnp.zeros((n * s, 3), jnp.float32)
-
-                    def f(pp, means=means, covs=covs, dirs3=dirs3,
-                          depth=depth):
-                        return fused_ipe_mlp_apply(
-                            pp, means, covs, dirs3, depth, False
-                        )
 
                 probe = jax.jit(f, compiler_options=opts)
                 jax.block_until_ready(probe(p))
@@ -520,6 +516,22 @@ class NerfPipeline:
             )
         out_dtype = (_dtype_of(self.cfg)
                      if self.cfg.parallel.ipe_early_cast else None)
+        variant = _ov(_IPE_VARIANT, self.cfg.parallel.ipe_variant)
+        if variant == "fused":
+            # Concat-free direct-form assembly, cast folded into the one
+            # output fusion (core/math.integrated_pos_enc_fused rationale).
+            return mmath.integrated_pos_enc_fused(
+                (means.reshape(n * s, 3), covs.reshape(n * s, 3)),
+                out_dtype=_dtype_of(self.cfg),
+            )
+        if variant == "floor":
+            # MEASUREMENT-ONLY (module-override A/B value, not a config
+            # value): a trivially-written feature array with the right
+            # shape/dtype — bounds the achievable win of any IPE-assembly
+            # change by removing the entire encode+assembly cost.
+            return jnp.broadcast_to(
+                means.reshape(n * s, 3).mean(-1, keepdims=True), (n * s, 96)
+            ).astype(_dtype_of(self.cfg))
         return mmath.integrated_pos_enc(
             (means.reshape(n * s, 3), covs.reshape(n * s, 3)),
             double_angle=self.cfg.parallel.ipe_double_angle,
@@ -646,20 +658,11 @@ class NerfPipeline:
                     **kw,
                 )
                 return flat.reshape(n, s, out_dim)
-            # v2 kernel: IPE + viewdir PE + full MLP in VMEM; raw means/covs
-            # in, radiance out (kernels/fused_ipe_mlp.py).
-            from ddnerf_tpu.kernels.fused_ipe_mlp import fused_ipe_mlp_apply
-
-            dirs3 = jnp.broadcast_to(rays.viewdirs[:, None, :], (n, s, 3))
-            flat = fused_ipe_mlp_apply(
-                params,
-                means.reshape(-1, 3),
-                covs.reshape(-1, 3),
-                dirs3.reshape(-1, 3),
-                depth_head,
-                self._pallas_interpret,
+            # "ipe" (the v2 fused_ipe_mlp kernel) was retired in round 5:
+            # third measured negative for in-kernel encodes (PERF.md).
+            raise ValueError(
+                f"render_kernel_variant={variant!r}: expected mlp | ipe2"
             )
-            return flat.reshape(n, s, out_dim)
 
         def net(params, means, covs, viewdirs):
             if _ov(_REMAT_IPE, self.cfg.parallel.remat_ipe):

@@ -80,7 +80,7 @@ def test_train_policy_gradients_match_xla(nerf_type):
 @pytest.mark.parametrize("nerf_type", ["GeneralMipNerfModel", "DDNerfModel"])
 def test_render_kernel_mlp_variant_matches_xla(nerf_type):
     """The fused_mlp-based render variant (_RENDER_KERNEL_VARIANT="mlp")
-    must match the XLA pipeline like the fused_ipe_mlp one does."""
+    must match the XLA pipeline."""
     import ddnerf_tpu.models.nerf as nerf_mod
 
     cfg = tiny_cfg(nerf_type).replace_at("parallel.compute_dtype", "float32")
