@@ -27,6 +27,12 @@ def main():
         "--pallas-mlp", default="auto",
         help="kernel policy for the profiled renderer (production: auto)",
     )
+    ap.add_argument(
+        "--flags", default="",
+        help="comma-separated variant spec, same syntax as ab_render.py: "
+             "MODULE.FLAG=VALUE module globals and cfg.path.key=VALUE "
+             "config overrides, applied before building the renderer",
+    )
     args = ap.parse_args()
 
     import jax
@@ -45,9 +51,21 @@ def main():
 
     from benchmarks.common import flagship_render_cfg_dict
 
-    cfg = Config.from_dict(
-        flagship_render_cfg_dict(args.chunk, pallas_mlp=args.pallas_mlp)
-    ).resolved()
+    import importlib
+
+    base = flagship_render_cfg_dict(args.chunk, pallas_mlp=args.pallas_mlp)
+    for item in filter(None, (s.strip() for s in args.flags.split(","))):
+        target, _, value = item.partition("=")
+        if target.startswith("cfg."):
+            d = base
+            keys = target[4:].split(".")
+            for k in keys[:-1]:
+                d = d.setdefault(k, {})
+            d[keys[-1]] = eval(value)
+            continue
+        modname, _, flag = target.rpartition(".")
+        setattr(importlib.import_module(modname), flag, eval(value))
+    cfg = Config.from_dict(base).resolved()
     pipe = NerfPipeline(cfg)
     state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
     sched = ScheduleValues.for_eval(cfg)

@@ -221,6 +221,47 @@ def integrated_pos_enc(means_covs, min_deg=0, max_deg=16, diag=True,
     return out if out_dtype is None else out.astype(out_dtype)
 
 
+def integrated_pos_enc_fused(means_covs, min_deg=0, max_deg=16,
+                             out_dtype=None):
+    """Direct-form IPE assembled WITHOUT stack or concat — one XLA fusion.
+
+    Identical values to ``integrated_pos_enc(double_angle=False)`` — the
+    same per-feature multiply / phase-add / exp / safe_sin in the same
+    (half, l, dim) output order, bit-exact up to the sign of zeros (the
+    sin half adds a literal 0.0 phase, which rewrites -0.0 to +0.0; the
+    values compare equal) — pinned in test_core_math.py.  Built for the fused-kernel render/train paths
+    where the [N, 96] feature array must be MATERIALIZED in HBM for a
+    ``pallas_call`` (XLA cannot fuse a prologue into a custom call): the
+    stack/reshape/concat assembly of the other paths lowers to ~4 full
+    HBM round-trips of relayout copies there (~105 ms of a 612 ms 800x800
+    render, round-5 trace digest), while this form is a broadcast-multiply
+    -add-reshape-elementwise chain with no concatenate at all, which XLA
+    emits as a single output fusion writing the final array once.
+
+    The cos half rides the sin evaluation via a per-feature phase vector
+    (cos z = sin(z + pi/2) — exactly the reference's direct form,
+    math_utils.py:112-152, which concatenates [y, y + 0.5*pi]): scales2 =
+    [2^l | l] twice, phase2 = [0]*L + [pi/2]*L, so
+
+        feat = exp(-0.5 * cov * scales2^2) * safe_sin(x * scales2 + phase2)
+
+    over a [..., 2L, 3] broadcast, reshaped (inside the fusion) to
+    [..., 6L].  ``out_dtype`` folds the consumer's cast into the same
+    fusion (bit-identical to casting after).
+    """
+    x, x_cov_diag = means_covs
+    L = max_deg - min_deg
+    scales = [2.0**i for i in range(min_deg, max_deg)]
+    scales2 = jnp.asarray(scales + scales, dtype=x.dtype)[:, None]  # [2L, 1]
+    phase2 = jnp.asarray([0.0] * L + [0.5 * jnp.pi] * L,
+                         dtype=x.dtype)[:, None]
+    shape = x.shape[:-1] + (-1,)
+    y = x[..., None, :] * scales2 + phase2            # [..., 2L, 3]
+    y_var = x_cov_diag[..., None, :] * scales2**2
+    out = jnp.reshape(jnp.exp(-0.5 * y_var) * safe_sin(y), shape)
+    return out if out_dtype is None else out.astype(out_dtype)
+
+
 def integrated_pos_enc_t(means_covs, min_deg=0, max_deg=16,
                          double_angle=True):
     """Feature-major IPE: the exact transpose of :func:`integrated_pos_enc`.
