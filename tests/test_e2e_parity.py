@@ -68,9 +68,17 @@ def _cfg_dict(nerf_type, ds_type):
 
 
 def _transplant(torch_model):
-    """torch MLP -> flax param dict (same layout as models/mlp.py)."""
+    """torch MLP -> flax param dict (same layout as models/mlp.py).
+
+    ``t2j`` must COPY: ``jnp.asarray`` of a torch ``.numpy()`` view can be
+    zero-copy on the CPU backend, and the co-training harnesses keep the
+    transplanted tree as the pre-training snapshot while torch's Adam
+    updates the parameters IN PLACE — an aliased leaf would silently turn
+    the "identical initial weights" premise into "torch's trained
+    weights" (observed: the snapshot checksum changed after torch
+    training before this copy was forced)."""
     def t2j(t):
-        return jnp.asarray(t.detach().numpy())
+        return jnp.asarray(np.array(t.detach().numpy()))
 
     p = {}
     for i in range(8):

@@ -66,6 +66,11 @@ def _cotrain(nerf_type, ds_type, n_iters=N_ITERS, extra_cfg=None):
     for section, over in (extra_cfg or {}).items():
         d.setdefault(section, {}).update(over)
 
+    # Build the JAX config FIRST (eager deep copy): CfgNode(d) shares the
+    # dict, and the reference-style schedule mirror below mutates the cfg
+    # in place during torch training.
+    cfg = Config.from_dict(d)
+
     # ---- torch side
     ref_cfg = CfgNode(d)
     torch.manual_seed(0)
@@ -90,8 +95,24 @@ def _cotrain(nerf_type, ds_type, n_iters=N_ITERS, extra_cfg=None):
     host = np.random.default_rng(42)
     idx_stream = [host.integers(0, len(ro), N_RAYS) for _ in range(n_iters)]
 
+    # Mirror the reference train loop's per-iteration schedule mutation
+    # (train_model.py:121-141): gaussian-smooth anneal + pdf-padding
+    # cutoff.  Without this the torch side trains at constant schedules
+    # while the JAX step applies its production schedules internally —
+    # a harness-side dynamics mismatch, not framework parity.
+    tp = ref_cfg.train_params
+    dsmooth = (tp.gaussian_smooth_factor - tp.final_smooth) / tp.finnish_smooth
+    initial_smooth = tp.gaussian_smooth_factor
+
     ref_losses = []
     for i in range(n_iters):
+        if i < tp.finnish_smooth:
+            ref_model.cfg.train_params.gaussian_smooth_factor = (
+                initial_smooth - dsmooth * i)
+        else:
+            ref_model.cfg.train_params.gaussian_smooth_factor = tp.final_smooth
+        if i == tp.max_pdf_pad_iters:
+            ref_model.cfg.train_params.pdf_padding = False
         lr = float(ref_lr(i, 3e-3, 1e-3, n_iters, 0, 1.0))
         for opt in optims:
             for g in opt.param_groups:
@@ -110,7 +131,7 @@ def _cotrain(nerf_type, ds_type, n_iters=N_ITERS, extra_cfg=None):
         ref_losses.append(float(loss))
 
     # ---- jax side, SAME initial weights and SAME ray index stream
-    cfg = Config.from_dict(d)
+    # (cfg was snapshotted before the torch loop's schedule mutation)
     pipe = NerfPipeline(cfg)
     from ddnerf_tpu.train.state import make_optimizer
 
