@@ -39,6 +39,12 @@ def main():
         help="interleave packed (one wire array per image) vs unpacked "
              "(one buffer per map) fetch on the production wire dtype",
     )
+    ap.add_argument(
+        "--cfg-ab", default=None, metavar="PATH=VALUE",
+        help="interleave a second renderer with one config override "
+             "(e.g. parallel.ipe_transposed=False) against the shipped "
+             "config, pipelined runs only",
+    )
     args = ap.parse_args()
 
     import jax
@@ -103,6 +109,42 @@ def main():
                 f"s/img ({h * w * m / up:,.0f} rays/s)",
                 flush=True,
             )
+        return
+
+    if args.cfg_ab:
+        # Interleaved A/B of one config switch on the PIPELINED path (the
+        # production eval/video fetch overlap, where device time is the
+        # per-image bound): shipped config vs the override.
+        path, _, raw = args.cfg_ab.partition("=")
+        cfg_b = cfg.replace_at(path, eval(raw))
+        pipe_b = NerfPipeline(cfg_b)
+        other = ImageRenderer(cfg_b, pipe_b, mode="render")
+        other.render_image_from_pose(
+            state.params, poses[0], h, w, focal, sched=sched
+        )  # compile + warm
+
+        def run_r(rd):
+            t0 = time.perf_counter()
+            for _ in rd.render_images_from_poses(state.params, poses, h, w,
+                                                 focal, sched=sched):
+                pass
+            return time.perf_counter() - t0
+
+        ships, others = [], []
+        for r in range(args.rounds):
+            a, b = run_r(renderer), run_r(other)
+            ships.append(a)
+            others.append(b)
+            print(
+                f"round {r}: ship {a / m:.3f} s/img "
+                f"({h * w * m / a:,.0f} rays/s) | {args.cfg_ab} {b / m:.3f} "
+                f"s/img ({h * w * m / b:,.0f} rays/s)",
+                flush=True,
+            )
+        med = sorted(ships)[len(ships) // 2]
+        medo = sorted(others)[len(others) // 2]
+        print(f"ship median {med / m:.3f} s/img | {args.cfg_ab} median "
+              f"{medo / m:.3f} s/img")
         return
 
     if args.fetch_ab:

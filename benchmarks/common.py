@@ -22,6 +22,8 @@ def flagship_render_cfg_dict(chunk: int = 16384, **parallel):
         "dataset": {"type": "blender", "synthetic": True},
         # fetch_dtype float16 = the shipped render wire (configs/*.yml);
         # override with fetch_dtype="float32" to measure the exact wire.
+        # ipe_transposed = the shipped feature-major kernel IPE (-8% render
+        # device step, round-5 trace); override False for the row-major A/B.
         "parallel": {"compute_dtype": "bfloat16", "fetch_dtype": "float16",
-                     **parallel},
+                     "ipe_transposed": True, **parallel},
     }

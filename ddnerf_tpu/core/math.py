@@ -263,7 +263,7 @@ def integrated_pos_enc_fused(means_covs, min_deg=0, max_deg=16,
 
 
 def integrated_pos_enc_t(means_covs, min_deg=0, max_deg=16,
-                         double_angle=True):
+                         double_angle=True, out_dtype=None):
     """Feature-major IPE: the exact transpose of :func:`integrated_pos_enc`.
 
     Input: ``(means [N, 3], covs [N, 3])``; output ``[2*3*L, N]`` with row
@@ -280,6 +280,12 @@ def integrated_pos_enc_t(means_covs, min_deg=0, max_deg=16,
     Values are bit-identical to ``integrated_pos_enc(...).T``: the
     elementwise chain is orientation-independent and assembly is pure
     stack/reshape (tested in test_core_math.py).
+
+    ``out_dtype``: cast each per-degree feature BEFORE the stack/reshape/
+    concat assembly (the ``ipe_early_cast`` semantics of the row-major
+    form) — bit-identical to casting the assembled array, at half the
+    assembly bytes.  On the double-angle path only; the direct path casts
+    after.
     """
     x, x_cov_diag = means_covs
     x_t, v_t = x.T, x_cov_diag.T  # [3, N]
@@ -290,8 +296,11 @@ def integrated_pos_enc_t(means_covs, min_deg=0, max_deg=16,
         var_scale = 4.0**min_deg
         for deg in range(min_deg, max_deg):
             w = jnp.exp((-0.5 * var_scale) * v_t)
-            sin_feats.append(w * s)
-            cos_feats.append(w * c)
+            sf, cf = w * s, w * c
+            if out_dtype is not None:
+                sf, cf = sf.astype(out_dtype), cf.astype(out_dtype)
+            sin_feats.append(sf)
+            cos_feats.append(cf)
             if deg + 1 < max_deg:
                 s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
                 var_scale = var_scale * 4.0
@@ -305,10 +314,11 @@ def integrated_pos_enc_t(means_covs, min_deg=0, max_deg=16,
     # [L, 1, 1] * [3, N] -> [L, 3, N] -> [L*3, N]
     y = jnp.reshape(scales[:, None, None] * x_t[None], shape)
     y_var = jnp.reshape(scales[:, None, None] ** 2 * v_t[None], shape)
-    return expected_sin(
+    out = expected_sin(
         jnp.concatenate([y, y + 0.5 * jnp.pi], axis=0),
         jnp.concatenate([y_var] * 2, axis=0),
     )[0]
+    return out if out_dtype is None else out.astype(out_dtype)
 
 
 def positional_encoding(x, num_freqs=4, include_input=True, log_sampling=True):

@@ -509,13 +509,14 @@ class NerfPipeline:
         feature-major [96, n*s] when ``parallel.ipe_transposed`` (see
         core/math.integrated_pos_enc_t — bit-identical values, no
         relayout copies at the pallas_call boundary)."""
+        out_dtype = (_dtype_of(self.cfg)
+                     if self.cfg.parallel.ipe_early_cast else None)
         if self._ipe_transposed():
             return mmath.integrated_pos_enc_t(
                 (means.reshape(n * s, 3), covs.reshape(n * s, 3)),
                 double_angle=self.cfg.parallel.ipe_double_angle,
+                out_dtype=out_dtype,
             )
-        out_dtype = (_dtype_of(self.cfg)
-                     if self.cfg.parallel.ipe_early_cast else None)
         variant = _ov(_IPE_VARIANT, self.cfg.parallel.ipe_variant)
         if variant == "fused":
             # Concat-free direct-form assembly, cast folded into the one
@@ -630,6 +631,14 @@ class NerfPipeline:
                     alpha_vpu=self.cfg.parallel.alpha_vpu,
                     **kw,
                 )
+                # NOTE the [n*s, out] -> [n, s, out] reshape below lowers
+                # to a ~17 ms/cycle relayout copy at 800x800 (round-5
+                # digest) because any narrow-lane array is tile-padded to
+                # 128 lanes in HBM.  Deferring the lane slice past the
+                # reshape ("wide_output") was measured WORSE (644 vs 612
+                # ms device: XLA materializes the full 128-lane rank-3
+                # array instead) — the copy is layout-floor-bound, not
+                # removable by reordering.
                 return flat.reshape(n, s, out_dim)
             if variant == "ipe2":
                 # In-kernel IPE with the modern recipe: raw [N, 3] f32

@@ -306,3 +306,31 @@ def test_ipe_early_cast_bit_identical():
         assert early.dtype == jnp.bfloat16
         np.testing.assert_array_equal(np.asarray(early, np.float32),
                                       np.asarray(late, np.float32))
+        # Same contract for the feature-major form (ipe_transposed path).
+        late_t = m.integrated_pos_enc_t((x, v), double_angle=da).astype(
+            jnp.bfloat16
+        )
+        early_t = m.integrated_pos_enc_t((x, v), double_angle=da,
+                                         out_dtype=jnp.bfloat16)
+        assert early_t.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(early_t, np.float32),
+                                      np.asarray(late_t, np.float32))
+
+
+def test_integrated_pos_enc_fused_matches_direct():
+    """integrated_pos_enc_fused (concat-free single-fusion assembly) must
+    equal the direct path elementwise — same multiply/phase/exp/safe_sin
+    per feature in the same (half, l, dim) order (values identical; the
+    sin half's literal +0.0 phase may rewrite -0.0 to +0.0, which still
+    compares equal)."""
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.uniform(-6, 6, (41, 3)).astype(np.float32))
+    v = jnp.asarray(np.abs(rng.normal(0, 0.05, (41, 3))).astype(np.float32))
+    direct = mmath.integrated_pos_enc((x, v), double_angle=False)
+    fused = mmath.integrated_pos_enc_fused((x, v))
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(fused))
+    # out_dtype folds the cast into the same fusion, bit-identically.
+    fused_b = mmath.integrated_pos_enc_fused((x, v), out_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(fused_b, np.float32),
+        np.asarray(direct.astype(jnp.bfloat16), np.float32))
