@@ -197,6 +197,223 @@ def test_cotrained_ddnerf_long_horizon():
     assert (rel < 0.35).all(), f"windowed means diverged: {rel}"
 
 
+# ---------------------------------------------------------------------------
+# PSNR-delta quality gate (round-4 verdict #2): co-train both frameworks on
+# the IMAGE-FORMING synthetic scene, render the same held-out pose in both,
+# and gate on the PSNR/SSIM deltas — the strongest locally-runnable
+# approximation of BASELINE.json's "PSNR parity with the torch reference"
+# (reference eval_nerf.py:128-135).
+# ---------------------------------------------------------------------------
+
+_IMG_H = 32
+_IMG_BATCH = 128
+
+
+def _image_scene():
+    """8 train views + 1 held-out view of the procedural sphere scene at
+    32x32, as flat ray arrays (black-composited targets — white_background
+    False in _cfg_dict, identical arrays fed to both frameworks)."""
+    from ddnerf_tpu.core.rays import get_ray_bundle
+    from ddnerf_tpu.data.synthetic import generate_synthetic_blender
+
+    h = w = _IMG_H
+    images, poses, _, hwf, i_split = generate_synthetic_blender(
+        num_train=8, num_val=1, height=h, width=w)
+    focal = hwf[2]
+    rgbs = images[..., :3] * images[..., 3:4]
+
+    tro, trd, trr, trgb = [], [], [], []
+    for i in i_split[0]:
+        ro, rd, radii = get_ray_bundle(h, w, focal, poses[i])
+        tro.append(ro.reshape(-1, 3))
+        trd.append(rd.reshape(-1, 3))
+        trr.append(radii.reshape(-1, 1))
+        trgb.append(rgbs[i].reshape(-1, 3))
+    train = tuple(np.concatenate(a).astype(np.float32)
+                  for a in (tro, trd, trr, trgb))
+    vi = i_split[1][0]
+    vro, vrd, vra = get_ray_bundle(h, w, focal, poses[vi])
+    val = (vro.reshape(-1, 3).astype(np.float32),
+           vrd.reshape(-1, 3).astype(np.float32),
+           vra.reshape(-1, 1).astype(np.float32),
+           rgbs[vi].reshape(-1, 3).astype(np.float32))
+    return train, val
+
+
+def _image_cfg_dict(n_iters):
+    d = _cfg_dict("DDNerfModel", "blender")
+    d["nerf"]["train"]["perturb"] = True
+    d["nerf"]["train"]["num_random_rays"] = _IMG_BATCH
+    d["experiment"]["train_iters"] = n_iters
+    d["optimizer"] = {"lr_init": 3e-3, "lr_final": 1e-3, "lr_delay_steps": 0,
+                      "lr_delay_mult": 1.0}
+    return d
+
+
+def _idx_stream(n_rays, n_iters):
+    host = np.random.default_rng(42)
+    return [host.integers(0, n_rays, _IMG_BATCH) for _ in range(n_iters)]
+
+
+def _psnr_ssim(img_flat, gt_flat):
+    from ddnerf_tpu.eval import metrics as M
+
+    h = w = _IMG_H
+    img = np.asarray(img_flat).reshape(h, w, 3)
+    gt = gt_flat.reshape(h, w, 3)
+    return float(M.psnr(img, gt)), float(M.calc_ssim(img, gt)[0])
+
+
+def _torch_image_train(d, train, val, n_iters, loop_seed=None):
+    """Reference-side training on the image scene with the reference train
+    loop's schedule mirror; returns (PSNR, SSIM_v1, initial flax params).
+    ``loop_seed`` reseeds torch AFTER construction (same init, different
+    perturb draws) — used to measure the reference's own seed envelope."""
+    import sys
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import torch
+    from general_utils.cfgnode import CfgNode
+    from general_utils.nerf_helpers import learning_rate_decay as ref_lr
+    from models import models as ref_models
+
+    ro, rd, radii, rgb = train
+    ref_cfg = CfgNode(d)
+    torch.manual_seed(0)
+    m = ref_models.DDNerfModel(ref_cfg)
+    m.train()
+    params0 = {"coarse": _transplant(m.coarse), "fine": _transplant(m.fine)}
+    if loop_seed is not None:
+        torch.manual_seed(loop_seed)
+    optims = [torch.optim.Adam(m.coarse.parameters(), lr=3e-3),
+              torch.optim.Adam(m.fine.parameters(), lr=3e-3)]
+    idx_stream = _idx_stream(len(ro), n_iters)
+    t = torch.tensor
+    t_ro, t_rd, t_rr, t_rgb = t(ro), t(rd), t(radii), t(rgb)
+    tp = ref_cfg.train_params
+    dsmooth = (tp.gaussian_smooth_factor - tp.final_smooth) / tp.finnish_smooth
+    initial_smooth = tp.gaussian_smooth_factor
+    for i in range(n_iters):
+        if i < tp.finnish_smooth:
+            m.cfg.train_params.gaussian_smooth_factor = (
+                initial_smooth - dsmooth * i)
+        else:
+            m.cfg.train_params.gaussian_smooth_factor = tp.final_smooth
+        if i == tp.max_pdf_pad_iters:
+            m.cfg.train_params.pdf_padding = False
+        lr = float(ref_lr(i, 3e-3, 1e-3, n_iters, 0, 1.0))
+        for opt in optims:
+            for g in opt.param_groups:
+                g["lr"] = lr
+        idx = idx_stream[i]
+        out = m.run_iter(t_ro[idx], t_rd[idx], t_rr[idx], mode="train",
+                         rgb_target=t_rgb[idx])
+        loss = (torch.nn.functional.mse_loss(out[0]["rgb"], t_rgb[idx])
+                + torch.nn.functional.mse_loss(out[1]["rgb"], t_rgb[idx])
+                + 0.1 * out[1]["dp_loss"].mean())
+        loss.backward()
+        for opt in optims:
+            opt.step()
+            opt.zero_grad()
+    m.eval()
+    vro, vrd, vra, vgt = val
+    with torch.no_grad():
+        outv = m.run_iter(t(vro), t(vrd), t(vra), mode="validation",
+                          rgb_target=t(vgt))
+    p, s = _psnr_ssim(outv[1]["rgb"].numpy(), vgt)
+    return p, s, params0
+
+
+def _jax_image_train(cfg, params0, train, val, n_iters):
+    """JAX-side training from the same initial weights on the same ray
+    index stream; returns (PSNR, SSIM_v1) on the held-out view."""
+    from ddnerf_tpu.models.nerf import RayBatch
+    from ddnerf_tpu.train.state import make_optimizer
+
+    ro, rd, radii, rgb = train
+    pipe = NerfPipeline(cfg)
+    state = create_train_state(cfg, pipe, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    state = state.replace(params=params0, opt_state=tx.init(params0))
+    step = jax.jit(make_train_step(cfg, pipe))
+    for idx in _idx_stream(len(ro), n_iters):
+        batch = {"origins": jnp.asarray(ro[idx]),
+                 "directions": jnp.asarray(rd[idx]),
+                 "radii": jnp.asarray(radii[idx]),
+                 "rgb": jnp.asarray(rgb[idx])}
+        state, _ = step(state, batch)
+    from ddnerf_tpu.models.nerf import ScheduleValues
+
+    vro, vrd, vra, vgt = val
+    sched = ScheduleValues.for_eval(cfg)
+    rays = RayBatch.create(jnp.asarray(vro), jnp.asarray(vrd),
+                           jnp.asarray(vra), 2.0, 6.0)
+    out = pipe.render_rays(state.params, rays, jax.random.PRNGKey(0), sched,
+                           "validation")
+    return _psnr_ssim(out[1]["rgb"], vgt)
+
+
+@requires_reference
+def test_cotrained_psnr_delta_gate():
+    """|PSNR_jax - PSNR_torch| <= 0.5 dB (and SSIM within 0.1) on the same
+    held-out pose after 150 co-trained steps from identical weights — the
+    horizon covers the full schedule transitions (finnish_smooth=100,
+    pdf-padding cutoff at 100) and formed images (PSNR ~18), while the
+    frameworks' float-level chaos has not yet decorrelated the weights.
+
+    Calibration (round 5, this harness): delta 0.171 dB @130 iters,
+    0.320 dB @150; at 600 iters even a fully DETERMINISTIC co-training
+    (perturb off) drifts 1.02 dB apart while the reference's own
+    perturb-seed spread reaches 2.2 dB — long-horizon point deltas measure
+    chaos, not framework bias, which is what the seed-envelope test below
+    covers."""
+    n_iters = 150
+    train, val = _image_scene()
+    d = _image_cfg_dict(n_iters)
+    cfg = Config.from_dict(d)  # snapshot BEFORE CfgNode shares the dict
+    p_ref, s_ref, params0 = _torch_image_train(d, train, val, n_iters)
+    p_jax, s_jax = _jax_image_train(cfg, params0, train, val, n_iters)
+
+    assert p_ref > 15 and p_jax > 15, (p_ref, p_jax)  # images formed
+    assert abs(p_jax - p_ref) <= 0.5, (
+        f"PSNR delta {abs(p_jax - p_ref):.3f} dB > 0.5 "
+        f"(torch {p_ref:.3f}, jax {p_jax:.3f})")
+    assert abs(s_jax - s_ref) <= 0.1, (s_ref, s_jax)
+
+
+@requires_reference
+def test_cotrained_psnr_seed_envelope():
+    """Long-horizon statistical gate: after 600 co-trained steps the JAX
+    held-out PSNR must land inside the reference's own perturb-seed
+    envelope (min/max over three torch runs differing only in the
+    stochastic draws) widened by 1 dB.  At this horizon the reference
+    disagrees with ITSELF by up to 2.2 dB across seeds (measured:
+    {19.44, 17.69, 16.75} for the three seeds used here, jax 17.21), so a
+    point-delta gate would measure seed chaos; the envelope asserts the
+    JAX dynamics land in the same quality regime while still catching any
+    real regression (a broken resampler/schedule costs far more than
+    1 dB)."""
+    n_iters = 600
+    train, val = _image_scene()
+    d = _image_cfg_dict(n_iters)
+    cfg = Config.from_dict(d)
+    psnrs = []
+    p_ref, _, params0 = _torch_image_train(d, train, val, n_iters)
+    psnrs.append(p_ref)
+    for seed in (1000, 3000):
+        d_s = _image_cfg_dict(n_iters)  # fresh dict: the mirror mutates it
+        p_s, _, _ = _torch_image_train(d_s, train, val, n_iters,
+                                       loop_seed=seed)
+        psnrs.append(p_s)
+    p_jax, _ = _jax_image_train(cfg, params0, train, val, n_iters)
+
+    lo, hi = min(psnrs) - 1.0, max(psnrs) + 1.0
+    assert lo <= p_jax <= hi, (
+        f"jax PSNR {p_jax:.3f} outside torch seed envelope "
+        f"[{lo:.3f}, {hi:.3f}] (torch runs: {psnrs})")
+
+
 @requires_reference
 def test_torch_trained_checkpoint_eval_parity(tmp_path):
     """--torch-checkpoint round trip on TRAINED weights: torch-train the
