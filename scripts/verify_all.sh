@@ -10,5 +10,7 @@ if [[ "${1:-}" == "--with-tpu" ]]; then
   python bench.py
   echo "== entry() compile check (real device) =="
   python __graft_entry__.py
+  echo "== dress rehearsal (on-disk dataset -> train/eval/video CLIs) =="
+  scripts/dress_rehearsal.sh
 fi
 echo "ALL CHECKS PASSED"
