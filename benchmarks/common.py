@@ -24,6 +24,9 @@ def flagship_render_cfg_dict(chunk: int = 16384, **parallel):
         # override with fetch_dtype="float32" to measure the exact wire.
         # ipe_transposed = the shipped feature-major kernel IPE (-8% render
         # device step, round-5 trace); override False for the row-major A/B.
+        # render_block_rows 2048 = 48-ray kernel blocks (-1.1% device under
+        # the transposed input); override 0 for the kernel default.
         "parallel": {"compute_dtype": "bfloat16", "fetch_dtype": "float16",
-                     "ipe_transposed": True, **parallel},
+                     "ipe_transposed": True, "render_block_rows": 2048,
+                     **parallel},
     }

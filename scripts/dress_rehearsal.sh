@@ -11,20 +11,41 @@
 # shape (~30+ min).  On CPU (JAX_PLATFORMS=cpu) the thresholds drop to
 # smoke levels automatically (compile-correctness, not perf).
 #
-# Usage:  scripts/dress_rehearsal.sh [--full] [--keep]
+# --llff runs the forward-facing family instead: LLFF on-disk layout
+# (images/ + poses_bounds.npy) through configs/ff_dd.yml — poses_bounds
+# parsing, minify cache, bd_factor rescale, recentering, NDC rays, and
+# the spiral video path.
+#
+# Usage:  scripts/dress_rehearsal.sh [--full] [--llff] [--keep]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 # Default gates calibrated on chip (round 5): eval PSNR_fine measured
-# 20.67 at 400^2/12 views/3k iters -> gate 19.0.  The rays/s gate is a
-# SANITY bound, not the perf headline (bench.py is): the relayed chip's
-# per-dispatch latency varies ~10x between sessions (PERF.md round 5), so
-# even with the 20-step scan-block driver a degraded session measures
-# ~60k rays/s against ~300-450k on a good link.
+# 20.67 at 400^2/12 views/3k iters -> gate 19.0 (blender family); 30.12
+# forward-facing (NDC, factor-4 minify) -> gate 27.0 (llff family).  The
+# rays/s gate is a SANITY bound, not the perf headline (bench.py is):
+# the relayed chip's per-dispatch latency varies ~10x between sessions
+# (PERF.md round 5), so even with the 20-step scan-block driver a
+# degraded session measures ~60k rays/s against ~300-450k on a good
+# link.
 SIZE=400; VIEWS=12; ITERS=3000; MIN_PSNR=19.0; MIN_RAYS_S=25000
-if [[ "${1:-}" == "--full" ]]; then
-  SIZE=800; VIEWS=24; ITERS=20000; MIN_PSNR=28.0; MIN_RAYS_S=25000; shift
-fi
+FORMAT=blender
+CONFIG=configs/blender_dd.yml
+EXTRA_ARGS=(dataset.synthetic False)
+while [[ "${1:-}" == --* && "${1:-}" != "--keep" ]]; do
+  case "$1" in
+    --full) SIZE=800; VIEWS=24; ITERS=20000; MIN_PSNR=28.0 ;;
+    --llff)
+      FORMAT=llff
+      CONFIG=configs/ff_dd.yml
+      MIN_PSNR=27.0
+      # fern keypoints don't exist in the synthetic scene
+      EXTRA_ARGS=(train_params.depth_analysis_rays False)
+      ;;
+    *) echo "unknown flag $1" >&2; exit 2 ;;
+  esac
+  shift
+done
 MODEL_ARGS=()
 if [[ "${JAX_PLATFORMS:-}" == "cpu" ]]; then
   # CPU smoke: same flow, tractable sizes + a small model (the flagship
@@ -38,21 +59,21 @@ if [[ "${JAX_PLATFORMS:-}" == "cpu" ]]; then
 fi
 
 WORK=${DRESS_WORKDIR:-/tmp/ddnerf_dress}
-DS="$WORK/dataset_$SIZE"
+DS="$WORK/dataset_${FORMAT}_$SIZE"
 LOGROOT="$WORK/logs"
-RUN_ID="dress_$SIZE"
+RUN_ID="dress_${FORMAT}_$SIZE"
 LOGDIR="$LOGROOT/$RUN_ID"
 [[ "${1:-}" == "--keep" ]] || rm -rf "$LOGDIR"
 
-echo "== dataset ($SIZE x $SIZE, $VIEWS views) =="
-if [[ ! -f "$DS/transforms_train.json" ]]; then
-  python scripts/make_synthetic_dataset.py "$DS" --size "$SIZE" \
-      --train "$VIEWS" --val 2 --test 2
+echo "== dataset ($FORMAT, $SIZE x $SIZE, $VIEWS views) =="
+if [[ ! -f "$DS/transforms_train.json" && ! -f "$DS/poses_bounds.npy" ]]; then
+  python scripts/make_synthetic_dataset.py "$DS" --format "$FORMAT" \
+      --size "$SIZE" --train "$VIEWS" --val 2 --test 2
 fi
 
 echo "== train ($ITERS iters) =="
-python -m ddnerf_tpu.cli.train --config configs/blender_dd.yml \
-    dataset.basedir "$DS" dataset.synthetic False \
+python -m ddnerf_tpu.cli.train --config "$CONFIG" \
+    dataset.basedir "$DS" "${EXTRA_ARGS[@]}" \
     experiment.id "$RUN_ID" experiment.logdir "$LOGROOT" \
     experiment.train_iters "$ITERS" \
     experiment.validate_every $((ITERS / 3)) \
