@@ -31,8 +31,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument(
         "--fetch-ab", default=None, metavar="DTYPE",
-        help="interleave a second renderer with parallel.fetch_dtype=DTYPE "
-             "(float16/bfloat16) against the f32 wire, pipelined runs only",
+        help="alias for --cfg-ab parallel.fetch_dtype=DTYPE: interleave a "
+             "second renderer with that wire dtype against the shipped "
+             "config's wire, pipelined runs only",
     )
     ap.add_argument(
         "--pack-ab", action="store_true",
@@ -111,6 +112,11 @@ def main():
             )
         return
 
+    if args.fetch_ab and not args.cfg_ab:
+        # --fetch-ab is the wire-dtype special case of the generic config
+        # A/B; delegate instead of maintaining a second timing harness.
+        args.cfg_ab = f"parallel.fetch_dtype={args.fetch_ab!r}"
+
     if args.cfg_ab:
         # Interleaved A/B of one config switch on the PIPELINED path (the
         # production eval/video fetch overlap, where device time is the
@@ -145,36 +151,6 @@ def main():
         medo = sorted(others)[len(others) // 2]
         print(f"ship median {med / m:.3f} s/img | {args.cfg_ab} median "
               f"{medo / m:.3f} s/img")
-        return
-
-    if args.fetch_ab:
-        # Interleaved A/B of the wire dtype on the PIPELINED path (the
-        # production eval fetch): same pipeline/params, second renderer
-        # with parallel.fetch_dtype=<dtype>.
-        narrow = ImageRenderer(
-            cfg.replace_at("parallel.fetch_dtype", args.fetch_ab),
-            pipe, mode="render",
-        )
-        narrow.render_image_from_pose(
-            state.params, poses[0], h, w, focal, sched=sched
-        )  # compile + warm
-
-        def run(rd):
-            t0 = time.perf_counter()
-            for _ in rd.render_images_from_poses(state.params, poses, h, w,
-                                                 focal, sched=sched):
-                pass
-            return time.perf_counter() - t0
-
-        for r in range(args.rounds):
-            base_t, narrow_t = run(renderer), run(narrow)
-            print(
-                f"round {r}: f32 wire {base_t / m:.3f} s/img "
-                f"({h * w * m / base_t:,.0f} rays/s) | {args.fetch_ab} wire "
-                f"{narrow_t / m:.3f} s/img ({h * w * m / narrow_t:,.0f} "
-                f"rays/s)",
-                flush=True,
-            )
         return
 
     for r in range(args.rounds):

@@ -127,6 +127,33 @@ class NerfPipeline:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        # Validate the config-reachable kernel/IPE selectors UP FRONT: a
+        # bad value surfacing later inside the render-kernel probe would be
+        # swallowed by _fused_render_available's backend-fallback guard and
+        # misattributed to "kernel unavailable" (silent 22%-slower XLA
+        # renders).  The trace-time module overrides (_RENDER_KERNEL_VARIANT
+        # / _IPE_VARIANT, incl. the measurement-only "floor") bypass this
+        # deliberately — they are A/B-harness levers, not config.
+        par = cfg.parallel
+        if par.render_kernel_variant not in ("mlp", "ipe2"):
+            raise ValueError(
+                f"parallel.render_kernel_variant="
+                f"{par.render_kernel_variant!r}: expected mlp | ipe2 "
+                "(the 'ipe' fused_ipe_mlp kernel was retired in round 5 — "
+                "PERF.md)"
+            )
+        if par.ipe_variant not in ("stack", "fused"):
+            raise ValueError(
+                f"parallel.ipe_variant={par.ipe_variant!r}: expected "
+                "stack | fused"
+            )
+        if par.ipe_variant == "fused" and par.ipe_transposed:
+            raise ValueError(
+                "parallel.ipe_variant='fused' measures the row-major "
+                "assembly and is unreachable under ipe_transposed=true "
+                "(the transposed branch takes precedence) — set "
+                "ipe_transposed: false for that A/B"
+            )
         dtype = _dtype_of(cfg)
         mlp_kw = dict(
             dtype=dtype,
@@ -511,12 +538,11 @@ class NerfPipeline:
         relayout copies at the pallas_call boundary)."""
         out_dtype = (_dtype_of(self.cfg)
                      if self.cfg.parallel.ipe_early_cast else None)
-        if self._ipe_transposed():
-            return mmath.integrated_pos_enc_t(
-                (means.reshape(n * s, 3), covs.reshape(n * s, 3)),
-                double_angle=self.cfg.parallel.ipe_double_angle,
-                out_dtype=out_dtype,
-            )
+        # Variant checks run BEFORE the transposed branch so the module
+        # override (the A/B lever) is never silently shadowed now that the
+        # shipped configs set ipe_transposed; config-reachable values are
+        # validated at pipeline construction ("stack"/"fused" only, and
+        # "fused" is rejected together with ipe_transposed).
         variant = _ov(_IPE_VARIANT, self.cfg.parallel.ipe_variant)
         if variant == "fused":
             # Concat-free direct-form assembly, cast folded into the one
@@ -529,10 +555,18 @@ class NerfPipeline:
             # MEASUREMENT-ONLY (module-override A/B value, not a config
             # value): a trivially-written feature array with the right
             # shape/dtype — bounds the achievable win of any IPE-assembly
-            # change by removing the entire encode+assembly cost.
+            # change by removing the entire encode+assembly cost.  Row-major
+            # form: pair with cfg.parallel.ipe_transposed=False in the
+            # harness flags (the round-5 floor trace did).
             return jnp.broadcast_to(
                 means.reshape(n * s, 3).mean(-1, keepdims=True), (n * s, 96)
             ).astype(_dtype_of(self.cfg))
+        if self._ipe_transposed():
+            return mmath.integrated_pos_enc_t(
+                (means.reshape(n * s, 3), covs.reshape(n * s, 3)),
+                double_angle=self.cfg.parallel.ipe_double_angle,
+                out_dtype=out_dtype,
+            )
         return mmath.integrated_pos_enc(
             (means.reshape(n * s, 3), covs.reshape(n * s, 3)),
             double_angle=self.cfg.parallel.ipe_double_angle,

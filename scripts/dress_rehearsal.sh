@@ -28,24 +28,32 @@ cd "$(dirname "$0")/.."
 # (PERF.md round 5), so even with the 20-step scan-block driver a
 # degraded session measures ~60k rays/s against ~300-450k on a good
 # link.
-SIZE=400; VIEWS=12; ITERS=3000; MIN_PSNR=19.0; MIN_RAYS_S=25000
-FORMAT=blender
-CONFIG=configs/blender_dd.yml
-EXTRA_ARGS=(dataset.synthetic False)
-while [[ "${1:-}" == --* && "${1:-}" != "--keep" ]]; do
-  case "$1" in
-    --full) SIZE=800; VIEWS=24; ITERS=20000; MIN_PSNR=28.0 ;;
-    --llff)
-      FORMAT=llff
-      CONFIG=configs/ff_dd.yml
-      MIN_PSNR=27.0
-      # fern keypoints don't exist in the synthetic scene
-      EXTRA_ARGS=(train_params.depth_analysis_rays False)
-      ;;
-    *) echo "unknown flag $1" >&2; exit 2 ;;
+FULL=0; LLFF=0; KEEP=0
+for flag in "$@"; do
+  case "$flag" in
+    --full) FULL=1 ;;
+    --llff) LLFF=1 ;;
+    --keep) KEEP=1 ;;
+    *) echo "unknown flag $flag (expected --full/--llff/--keep)" >&2
+       exit 2 ;;
   esac
-  shift
 done
+
+SIZE=400; VIEWS=12; ITERS=3000; MIN_RAYS_S=25000
+if [[ $FULL == 1 ]]; then SIZE=800; VIEWS=24; ITERS=20000; fi
+if [[ $LLFF == 1 ]]; then
+  FORMAT=llff
+  CONFIG=configs/ff_dd.yml
+  MIN_PSNR=27.0  # calibrated 30.12 @400^2 default; same gate at --full
+  # fern keypoints don't exist in the synthetic scene
+  EXTRA_ARGS=(train_params.depth_analysis_rays False)
+else
+  FORMAT=blender
+  CONFIG=configs/blender_dd.yml
+  MIN_PSNR=19.0  # calibrated 20.67 @3k iters
+  [[ $FULL == 1 ]] && MIN_PSNR=28.0  # calibrated 34.27 @800^2/20k
+  EXTRA_ARGS=(dataset.synthetic False)
+fi
 MODEL_ARGS=()
 if [[ "${JAX_PLATFORMS:-}" == "cpu" ]]; then
   # CPU smoke: same flow, tractable sizes + a small model (the flagship
@@ -63,7 +71,7 @@ DS="$WORK/dataset_${FORMAT}_$SIZE"
 LOGROOT="$WORK/logs"
 RUN_ID="dress_${FORMAT}_$SIZE"
 LOGDIR="$LOGROOT/$RUN_ID"
-[[ "${1:-}" == "--keep" ]] || rm -rf "$LOGDIR"
+[[ $KEEP == 1 ]] || rm -rf "$LOGDIR"
 
 echo "== dataset ($FORMAT, $SIZE x $SIZE, $VIEWS views) =="
 if [[ ! -f "$DS/transforms_train.json" && ! -f "$DS/poses_bounds.npy" ]]; then
@@ -85,9 +93,11 @@ python -m ddnerf_tpu.cli.train --config "$CONFIG" \
     "${MODEL_ARGS[@]}"
 
 echo "== eval =="
+# AlexNet-LPIPS weights converted via scripts/convert_lpips_weights.py
+# (its documented output name is lpips_alex.npz).
 LPIPS_ARGS=()
-if [[ -f "$WORK/lpips_vgg.npz" ]]; then
-  LPIPS_ARGS=(--lpips-weights "$WORK/lpips_vgg.npz")
+if [[ -f "$WORK/lpips_alex.npz" ]]; then
+  LPIPS_ARGS=(--lpips-weights "$WORK/lpips_alex.npz")
 fi
 python -m ddnerf_tpu.cli.eval --logdir "$LOGDIR" --max-images 2 \
     "${LPIPS_ARGS[@]}"

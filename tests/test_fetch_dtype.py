@@ -134,6 +134,9 @@ def test_packed_fetch_is_exact(monkeypatch):
     focal = 9.0
     keys = ("rgb", "disp", "acc", "depth", "corrected_disp_map", "dp_loss")
 
+    # The module default must be packed, else "packed" below is vacuously
+    # identical to the unpacked control and the contract goes untested.
+    assert rmod.PACKED_FETCH
     packed = ImageRenderer(cfg, pipe, extract_keys=keys)
     got = packed.render_image_from_pose(params, pose, h, w, focal,
                                         sched=sched)
@@ -175,6 +178,7 @@ def test_packed_fetch_is_exact_ondevice_path(monkeypatch):
     radii = np.full((n, 1), 0.002, np.float32)
     keys = ("rgb", "disp", "acc", "depth", "corrected_disp_map", "dp_loss")
 
+    assert rmod.PACKED_FETCH  # see the pose-path twin above
     packed = ImageRenderer(cfg, pipe, extract_keys=keys)
     got = packed.render_flat(params, ro, rd, radii, sched=sched)
     monkeypatch.setattr(rmod, "PACKED_FETCH", False)

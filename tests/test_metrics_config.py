@@ -292,6 +292,33 @@ def test_switches_roundtrip_through_snapshot():
         assert getattr(back.parallel, k) == v, k
 
 
+def test_kernel_selector_configs_validated_at_init():
+    """Config-reachable kernel/IPE selectors are validated at pipeline
+    construction: a bad value surfacing later inside the render-kernel
+    probe would be swallowed by the backend-fallback guard and
+    misattributed to 'kernel unavailable' (silent slow renders)."""
+    import pytest as _pytest
+
+    from ddnerf_tpu.config import Config
+    from ddnerf_tpu.models.nerf import NerfPipeline
+
+    def cfg(**parallel):
+        return Config.from_dict({
+            "nerf": {"type": "DDNerfModel", "coarse_hidden_size": 16,
+                     "fine_hidden_size": 16},
+            "dataset": {"type": "blender", "synthetic": True},
+            "parallel": parallel,
+        }).resolved()
+
+    with _pytest.raises(ValueError, match="render_kernel_variant"):
+        NerfPipeline(cfg(render_kernel_variant="ipe"))  # retired round 5
+    with _pytest.raises(ValueError, match="ipe_variant"):
+        NerfPipeline(cfg(ipe_variant="floor"))  # module-override only
+    with _pytest.raises(ValueError, match="ipe_transposed"):
+        NerfPipeline(cfg(ipe_variant="fused", ipe_transposed=True))
+    NerfPipeline(cfg(render_kernel_variant="ipe2", ipe_variant="fused"))
+
+
 def test_switches_reach_the_modules():
     """The pipeline threads the config switches into the flax modules and
     the IPE path; exact-rewrite switches leave the forward identical."""

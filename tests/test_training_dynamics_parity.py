@@ -31,6 +31,31 @@ N_ITERS = 120
 N_RAYS = 64
 
 
+def _reference_schedule_mirror(ref_cfg, model):
+    """Per-iteration mutator mirroring the reference train loop's schedule
+    handling EXACTLY (train_model.py:121-141): linear gaussian-smooth
+    anneal over ``finnish_smooth`` iters, pdf-padding flipped off at
+    ``i == max_pdf_pad_iters``.  Without this the torch side trains at
+    constant schedules while the JAX step applies its production schedules
+    internally — a harness-side dynamics mismatch, not framework parity.
+    Snapshot the initial/delta values NOW: the mutation below writes to the
+    same shared CfgNode."""
+    tp = ref_cfg.train_params
+    dsmooth = (tp.gaussian_smooth_factor - tp.final_smooth) / tp.finnish_smooth
+    initial_smooth = tp.gaussian_smooth_factor
+
+    def apply(i):
+        if i < tp.finnish_smooth:
+            model.cfg.train_params.gaussian_smooth_factor = (
+                initial_smooth - dsmooth * i)
+        else:
+            model.cfg.train_params.gaussian_smooth_factor = tp.final_smooth
+        if i == tp.max_pdf_pad_iters:
+            model.cfg.train_params.pdf_padding = False
+
+    return apply
+
+
 def _scene_rays(seed=0, n=4096):
     """A consistent random 'scene': rays with targets derived from direction
     (a learnable smooth function)."""
@@ -95,24 +120,11 @@ def _cotrain(nerf_type, ds_type, n_iters=N_ITERS, extra_cfg=None):
     host = np.random.default_rng(42)
     idx_stream = [host.integers(0, len(ro), N_RAYS) for _ in range(n_iters)]
 
-    # Mirror the reference train loop's per-iteration schedule mutation
-    # (train_model.py:121-141): gaussian-smooth anneal + pdf-padding
-    # cutoff.  Without this the torch side trains at constant schedules
-    # while the JAX step applies its production schedules internally —
-    # a harness-side dynamics mismatch, not framework parity.
-    tp = ref_cfg.train_params
-    dsmooth = (tp.gaussian_smooth_factor - tp.final_smooth) / tp.finnish_smooth
-    initial_smooth = tp.gaussian_smooth_factor
+    mirror_schedules = _reference_schedule_mirror(ref_cfg, ref_model)
 
     ref_losses = []
     for i in range(n_iters):
-        if i < tp.finnish_smooth:
-            ref_model.cfg.train_params.gaussian_smooth_factor = (
-                initial_smooth - dsmooth * i)
-        else:
-            ref_model.cfg.train_params.gaussian_smooth_factor = tp.final_smooth
-        if i == tp.max_pdf_pad_iters:
-            ref_model.cfg.train_params.pdf_padding = False
+        mirror_schedules(i)
         lr = float(ref_lr(i, 3e-3, 1e-3, n_iters, 0, 1.0))
         for opt in optims:
             for g in opt.param_groups:
@@ -291,17 +303,9 @@ def _torch_image_train(d, train, val, n_iters, loop_seed=None):
     idx_stream = _idx_stream(len(ro), n_iters)
     t = torch.tensor
     t_ro, t_rd, t_rr, t_rgb = t(ro), t(rd), t(radii), t(rgb)
-    tp = ref_cfg.train_params
-    dsmooth = (tp.gaussian_smooth_factor - tp.final_smooth) / tp.finnish_smooth
-    initial_smooth = tp.gaussian_smooth_factor
+    mirror_schedules = _reference_schedule_mirror(ref_cfg, m)
     for i in range(n_iters):
-        if i < tp.finnish_smooth:
-            m.cfg.train_params.gaussian_smooth_factor = (
-                initial_smooth - dsmooth * i)
-        else:
-            m.cfg.train_params.gaussian_smooth_factor = tp.final_smooth
-        if i == tp.max_pdf_pad_iters:
-            m.cfg.train_params.pdf_padding = False
+        mirror_schedules(i)
         lr = float(ref_lr(i, 3e-3, 1e-3, n_iters, 0, 1.0))
         for opt in optims:
             for g in opt.param_groups:
