@@ -166,8 +166,12 @@ def main():
             # activation stashing (kernels/fused_mlp_bwd.py) — +24% over
             # the XLA train step (445.5k vs 358.9k rays/s at scan=8,
             # interleaved A/B; quality-validated by 5k-iter on-chip soaks
-            # at the baseline 29.9 dB band).
-            "parallel": {"compute_dtype": "bfloat16", "pallas_mlp": "train"},
+            # at the baseline 29.9 dB band).  ipe_transposed matches the
+            # shipped configs (round-4: +0.3% on train; round-5 HEAD A/B:
+            # +2.6% median, both within-to-above chip variance — the bench
+            # measures the numerics users actually run).
+            "parallel": {"compute_dtype": "bfloat16", "pallas_mlp": "train",
+                         "ipe_transposed": True},
         }
     ).resolved()
 
