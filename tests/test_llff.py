@@ -282,3 +282,79 @@ def test_colmap_text_truncated_raises(tmp_path):
 def test_read_model_missing_dir(tmp_path):
     with pytest.raises(FileNotFoundError):
         colmap.read_model(str(tmp_path / "nope_model"))
+
+
+def test_synthetic_llff_writer_roundtrip(tmp_path):
+    """scripts/make_synthetic_dataset.py --format llff writes a dataset the
+    LLFF loader reads back with the intended conventions: the stored
+    [-u, r, b] columns come out as [r, u, b] after the loader's swap, the
+    images match a re-trace with the loaded (un-recentered) poses, and the
+    bounds bracket the scene."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "make_synthetic_dataset",
+        os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                     "make_synthetic_dataset.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class Args:
+        outdir = str(tmp_path / "llff_ds")
+        size = 40
+        train = 5
+        val = 1
+        test = 1
+        seed = 3
+
+    mod._write_llff(Args)
+
+    arr = np.load(os.path.join(Args.outdir, "poses_bounds.npy"))
+    assert arr.shape == (7, 17)
+    # Reproduce the loader's column swap (llff.py:105-110) on the raw file
+    # and check the result is a proper [r, u, b] rotation looking at -z-ish.
+    poses = arr[:, :-2].reshape(-1, 3, 5)
+    swapped = np.concatenate(
+        [poses[:, :, 1:2], -poses[:, :, 0:1], poses[:, :, 2:]], axis=2)
+    for p in swapped:
+        R = p[:3, :3]
+        np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)
+        assert np.linalg.det(R) > 0.9  # right-handed [r, u, b]
+        assert R[2, 2] > 0.5  # back vector points +z (camera looks -z)
+    # hwf column and bounds
+    np.testing.assert_allclose(poses[:, 0, 4], 40)  # H
+    np.testing.assert_allclose(poses[:, 1, 4], 40)  # W
+    assert (arr[:, -2] > 1.0).all() and (arr[:, -1] > arr[:, -2]).all()
+
+    # Full loader round trip (no factor -> reads images/ directly).
+    cfg = Config.from_dict({
+        "dataset": {"type": "llff", "basedir": Args.outdir,
+                    "downsample_factor": 1, "bd_factor": 0.75,
+                    "spherify": False, "llffhold": 0},
+    })
+    images, lposes, bds, render_poses, i_test = load_llff_data(cfg)
+    assert images.shape == (7, 40, 40, 3)
+    assert np.isfinite(lposes).all()
+    assert len(render_poses) > 0  # spiral path built
+
+    # Image content: re-trace view 0 with the stored (un-swapped-back)
+    # camera and compare to the PNG the writer saved.
+    import imageio.v2 as imageio
+
+    from ddnerf_tpu.data.synthetic import _trace
+
+    c2w = swapped[0, :3, :4]
+    focal = poses[0, 2, 4]
+    ii, jj = np.meshgrid(np.arange(40, dtype=np.float32),
+                         np.arange(40, dtype=np.float32), indexing="xy")
+    dirs_cam = np.stack([(ii - 20.0) / focal, -(jj - 20.0) / focal,
+                         -np.ones_like(ii)], axis=-1)
+    rd = np.sum(dirs_cam[..., None, :] * c2w[:3, :3], axis=-1)
+    ro = np.broadcast_to(c2w[:3, -1], rd.shape)
+    rgba = _trace(ro, rd)
+    expect = np.clip(rgba[..., :3] * rgba[..., 3:4], 0, 1)
+    got = imageio.imread(
+        os.path.join(Args.outdir, "images", "image000.png")) / 255.0
+    np.testing.assert_allclose(got, expect, atol=2 / 255)
